@@ -1,0 +1,50 @@
+"""Training-mode config (reference parity: /root/reference/ganslate/configs/training.py)."""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ganslate_tpu.configs import base
+from ganslate_tpu.configs.omega import MISSING
+
+
+@dataclass
+class TrainMetricsConfig:
+    # Log mean discriminator outputs on real/fake (D evolution).
+    discriminator_evolution: bool = False
+    # Log cycle-consistency SSIM during training.
+    ssim: bool = False
+
+
+@dataclass
+class TrainCheckpointingConfig(base.CheckpointingConfig):
+    # How often (in iters) to save checkpoints during training.
+    freq: int = 2000
+    # After which iteration checkpointing begins.
+    start_after: int = 0
+    # If False, saved optimizer state is not loaded when continuing training.
+    load_optimizers: bool = True
+    # Iteration number of the checkpoint to load for continuing training.
+    load_iter: Optional[int] = None
+
+
+@dataclass
+class TrainConfig(base.BaseEngineConfig):
+    # -------- overriding BaseEngineConfig defaults --------
+    output_dir: str = MISSING
+    batch_size: int = MISSING
+    cuda: bool = True
+    mixed_precision: bool = False
+    opt_level: str = "O1"
+    checkpointing: TrainCheckpointingConfig = field(default_factory=TrainCheckpointingConfig)
+    logging: base.LoggingConfig = field(default_factory=base.LoggingConfig)
+    # ------------------------------------------------------
+
+    # Iterations at full learning rate.
+    n_iters: int = MISSING
+    # Final iterations over which learning rates decay linearly to zero.
+    n_iters_decay: int = MISSING
+
+    gan: base.BaseGANConfig = MISSING
+
+    seed: Optional[int] = None
+    metrics: TrainMetricsConfig = field(default_factory=TrainMetricsConfig)

@@ -1,0 +1,75 @@
+"""Val/test-mode configs (reference parity: /root/reference/ganslate/configs/validation_testing.py)."""
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+from ganslate_tpu.configs import base
+from ganslate_tpu.configs.omega import MISSING
+
+
+@dataclass
+class SlidingWindowConfig:
+    # ROI size for patched inference over large volumes/images.
+    window_size: Tuple[int] = MISSING
+    # Number of windows run through the network per device step.
+    batch_size: int = 1
+    # Fractional overlap between adjacent windows.
+    overlap: float = 0.25
+    # Overlap blending: 'gaussian' (importance-weighted) or 'constant'.
+    mode: str = 'gaussian'
+
+
+# -------------------------------------------------------------------- metrics
+
+
+@dataclass
+class BaseValTestMetricsConfig:
+    ssim: bool = True
+    psnr: bool = True
+    nmse: bool = True
+    mse: bool = True
+    mae: bool = True
+    # Normalized Mutual Information.
+    nmi: bool = False
+    # Chi-squared histogram distance.
+    histogram_chi2: bool = False
+
+
+@dataclass
+class ValMetricsConfig(BaseValTestMetricsConfig):
+    # Log metrics between original and cycle-reconstructed image.
+    cycle_metrics: bool = True
+
+
+@dataclass
+class TestMetricsConfig(BaseValTestMetricsConfig):
+    # Also compute metrics comparing input and ground truth.
+    compute_over_input: bool = False
+    # Save per-image metrics to CSV.
+    save_to_csv: bool = True
+
+
+# -------------------------------------------------------------------- general
+
+
+@dataclass
+class BaseValTestConfig(base.BaseEngineConfig):
+    sliding_window: Optional[SlidingWindowConfig] = None
+    dataset: Optional[base.BaseDatasetConfig] = None
+    # Val/test can run over multiple named datasets.
+    multi_dataset: Optional[Dict[str, base.BaseDatasetConfig]] = None
+
+
+@dataclass
+class ValidationConfig(BaseValTestConfig):
+    # Validate every `freq` iters.
+    freq: int = MISSING
+    # After which iteration validation begins.
+    start_after: int = 0
+    metrics: ValMetricsConfig = field(default_factory=ValMetricsConfig)
+
+
+@dataclass
+class TestConfig(BaseValTestConfig):
+    checkpointing: base.CheckpointingConfig = field(default_factory=base.CheckpointingConfig)
+    metrics: TestMetricsConfig = field(default_factory=TestMetricsConfig)

@@ -1,0 +1,2 @@
+from ganslate_tpu.nn.discriminators.patchgan.patchgan2d import PatchGAN2D, PatchGAN2DConfig
+from ganslate_tpu.nn.discriminators.patchgan.patchgan3d import PatchGAN3D, PatchGAN3DConfig

@@ -1,0 +1,337 @@
+"""BaseGAN: the training-algorithm contract, TPU-native.
+
+The reference BaseGAN (/root/reference/ganslate/nn/gans/base.py) is an eager
+orchestrator: mutable dicts of networks/optimizers/losses, per-loss
+`.backward()` calls, Apex AMP, per-network DDP wrappers, torch.save
+checkpoints. The TPU redesign splits the same responsibilities in two:
+
+1. **A pure, jit-compiled train step** built once per model by
+   `make_train_step()`: `(GANState, batch) -> (GANState, logs)`. The entire
+   iteration — all generator/discriminator forwards, both gradient
+   computations, optimizer updates, image-pool mutation, metric computation —
+   is ONE XLA program. Data parallelism comes from the batch being sharded
+   over the mesh's `data` axis: XLA inserts the gradient psums over ICI (the
+   reference needed explicit DDP + NCCL for this).
+
+2. **A thin host orchestrator** (this class) owning the static pieces: linen
+   module definitions, optax transforms, criterions, checkpoint IO, and the
+   `GANState` pytree that flows through the step.
+
+Mixed precision = bf16 compute policy: fp32 master params, params and inputs
+cast to bf16 at apply time, losses in fp32. No loss scaling (bf16 has fp32's
+exponent range) — replaces the reference's Apex AMP O-levels
+(nn/gans/base.py:191-219).
+
+Naming conventions preserved from the reference (base.py:49-67): generators
+`G`/`G_AB`/`G_BA` (direction suffix), discriminators `D`/`D_B`/`D_A` (domain
+suffix); optimizer groups `G` and `D`.
+"""
+
+import logging
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ganslate_tpu.parallel import get_mesh, replicated_sharding, shard_batch
+from ganslate_tpu.utils import communication
+from ganslate_tpu.utils.metrics.train_metrics import TrainingMetrics
+
+logger = logging.getLogger(__name__)
+
+
+class GANState(struct.PyTreeNode):
+    """Immutable train state; the only thing that changes across iterations."""
+    step: jax.Array                  # scalar int32
+    params: Dict[str, Any]           # network name -> param tree (fp32 masters)
+    opt_state: Dict[str, Any]        # optimizer group -> optax state
+    pools: Dict[str, Any]            # pool name -> PoolState (may be empty)
+    rng: jax.Array                   # PRNG key driving all device randomness
+
+
+class BaseGAN(ABC):
+    """Abstract base for GAN training algorithms.
+
+    Subclasses declare their networks / optimizer groups / pools in
+    ``__init__``, implement ``init_criterions`` + ``init_optimizers`` +
+    ``make_train_step`` (+ ``infer``), then call ``self.setup()``.
+    """
+
+    def __init__(self, conf):
+        self.conf = conf
+        self.is_train = conf.mode == "train"
+        self.output_dir = conf[conf.mode].output_dir
+        self.mixed_precision = bool(conf[conf.mode].mixed_precision)
+        self.compute_dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
+
+        self.mesh = get_mesh()
+        self.networks: Dict[str, Any] = {}      # name -> linen module (static)
+        self.optimizers: Dict[str, Any] = {}    # group -> optax transform
+        self.lr_schedules: Dict[str, Callable] = {}
+        # group -> list of network names whose params the group's optimizer owns
+        self.network_groups: Dict[str, list] = {}
+
+        self.state: Optional[GANState] = None
+        self.metrics: Dict[str, Any] = {}
+        self.losses: Dict[str, Any] = {}
+        self.visuals: Dict[str, Any] = {}
+
+        self._train_step_fn = None
+        self._infer_fns: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------- networks
+
+    def init_networks(self):
+        """Instantiate module defs by naming convention (reference parity)."""
+        from ganslate_tpu.utils.builders import build_D, build_G
+        for name in list(self.networks.keys()):
+            if name.startswith("G"):
+                direction = "BA" if name.endswith("_BA") else "AB"
+                self.networks[name] = build_G(self.conf, direction)
+            elif name.startswith("D"):
+                domain = "A" if name.endswith("_A") else "B"
+                self.networks[name] = build_D(self.conf, domain)
+
+    @abstractmethod
+    def init_criterions(self):
+        """Initialize criterions (losses)."""
+
+    @abstractmethod
+    def init_optimizers(self):
+        """Initialize optax optimizer groups + lr schedules."""
+
+    def init_metrics(self):
+        self.training_metrics = TrainingMetrics(self.conf)
+
+    @abstractmethod
+    def make_train_step(self) -> Callable:
+        """Return the pure `(state, batch) -> (state, logs)` function."""
+
+    @abstractmethod
+    def init_state_pools(self, batch_spec: Dict[str, Any]) -> Dict[str, Any]:
+        """Create the model's pool states given the batch spec (may be {})."""
+
+    # -------------------------------------------------------------- helpers
+
+    def make_adam(self, lr: float) -> optax.GradientTransformation:
+        """Adam with the reference's const-then-linear-decay schedule,
+        hyperparams injected so the live LR is inspectable for logging."""
+        from ganslate_tpu.nn.utils import make_lr_schedule
+        tr = self.conf.train
+        load_iter = tr.checkpointing.load_iter or 0
+        schedule = make_lr_schedule(lr, tr.n_iters, tr.n_iters_decay, load_iter)
+        opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=schedule,
+            b1=tr.gan.optimizer.beta1,
+            b2=tr.gan.optimizer.beta2,
+        )
+        return opt
+
+    def apply(self, name: str, params, x, **kwargs):
+        """Run a network under the compute-dtype policy. `params` is the
+        param tree OF THAT NETWORK (not the full dict)."""
+        module = self.networks[name]
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            x = x.astype(self.compute_dtype)
+        return module.apply({"params": params}, x, **kwargs)
+
+    def group_params(self, params: Dict[str, Any], group: str) -> Dict[str, Any]:
+        return {k: params[k] for k in self.network_groups[group]}
+
+    # ---------------------------------------------------------------- setup
+
+    def setup(self, example_batch: Optional[Dict[str, Any]] = None):
+        """(1) build networks/criterions/optimizers, (2) init or load state,
+        (3) jit-compile the train step (reference parity: base.py:108-153)."""
+        assert "G" in self.networks or "G_AB" in self.networks, \
+            "The (main) generator has to be named `G` or `G_AB`."
+
+        self.init_networks()
+
+        if self.is_train:
+            assert example_batch is not None, \
+                "Training setup needs an example batch (shapes) to init params."
+            self.init_criterions()
+            self.init_optimizers()
+            self.init_metrics()
+            self.state = self._init_state(example_batch)
+
+            load_iter = self.conf.train.checkpointing.load_iter
+            if load_iter:
+                self.load_networks(load_iter)
+
+            self._train_step_fn = jax.jit(self.make_train_step(), donate_argnums=0)
+        else:
+            load_iter = self.conf[self.conf.mode].checkpointing.load_iter
+            self.load_networks(load_iter)
+
+    def _init_state(self, example_batch) -> GANState:
+        seed = self.conf.train.seed
+        if seed is None:
+            seed = communication.shared_random_seed()
+        root_key = jax.random.key(seed)
+
+        batch_spec = {k: jax.ShapeDtypeStruct(np.shape(v), _np_dtype(v))
+                      for k, v in example_batch.items()
+                      if hasattr(v, "shape") or isinstance(v, np.ndarray)}
+
+        init_key, state_key = jax.random.split(root_key)
+        params = {}
+        keys = jax.random.split(init_key, len(self.networks))
+        for key, (name, module) in zip(keys, sorted(self.networks.items())):
+            dummy = self._dummy_input(name, batch_spec)
+            variables = jax.jit(module.init)(key, dummy)
+            params[name] = variables["params"]
+            n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params[name]))
+            logger.info(f"Network {name}: {n_params:,} parameters")
+
+        opt_state = {group: self.optimizers[group].init(self.group_params(params, group))
+                     for group in self.optimizers}
+
+        pools = self.init_state_pools(batch_spec)
+
+        state = GANState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            pools=pools,
+            rng=state_key,
+        )
+        # Replicate state across the mesh.
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _dummy_input(self, name: str, batch_spec) -> jax.Array:
+        """Zeros with the right shape to initialize network `name`.
+        Generators see domain-A-shaped input; discriminators domain-B-shaped.
+        Conditional models override (e.g. Pix2Pix D sees cat(A, B))."""
+        if name.startswith("G"):
+            spec = batch_spec["B" if name.endswith("_BA") else "A"]
+        else:
+            spec = batch_spec["A" if name.endswith("_A") else "B"]
+        return jnp.zeros(spec.shape, spec.dtype)
+
+    # ------------------------------------------------------------- training
+
+    def set_input(self, batch: Dict[str, Any]):
+        """Place the host batch onto the mesh, sharded over `data`."""
+        self._batch = shard_batch(
+            {k: v for k, v in batch.items() if hasattr(v, "shape")}, self.mesh)
+
+    def optimize_parameters(self):
+        """Run the single fused train step; keep logs as lazy device arrays."""
+        self.state, logs = self._train_step_fn(self.state, self._batch)
+        self.losses = logs.get("losses", {})
+        self.visuals = logs.get("visuals", {})
+        self.metrics = logs.get("metrics", {})
+
+    def update_learning_rate(self):
+        """No-op: LR schedules are part of the optax chain and advance with
+        every optimizer update (reference stepped LambdaLR each iter)."""
+
+    def get_learning_rates(self):
+        lrs = {}
+        for group, opt_state in self.state.opt_state.items():
+            try:
+                lr = opt_state.hyperparams["learning_rate"]
+                lrs[f"lr_{group}"] = float(jax.device_get(lr))
+            except (AttributeError, KeyError, TypeError):
+                pass
+        return lrs
+
+    def get_loggable_data(self):
+        """Learning rates, losses, visuals and metrics for the tracker."""
+        return self.get_learning_rates(), self.losses, self.visuals, self.metrics
+
+    # ------------------------------------------------------------ inference
+
+    def infer(self, x, direction: str = "AB"):
+        name = f"G_{direction}" if f"G_{direction}" in self.networks else "G"
+        assert name in self.networks, f"Specify a valid generator direction, got {direction}."
+        if name not in self._infer_fns:
+            module = self.networks[name]
+            dtype = self.compute_dtype
+
+            def fn(params, x):
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+                return module.apply({"params": p}, x.astype(dtype)).astype(jnp.float32)
+
+            self._infer_fns[name] = jax.jit(fn)
+        return self._infer_fns[name](self.state.params[name], x)
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _checkpoint_dir(self) -> Path:
+        return Path(self.output_dir) / "checkpoints"
+
+    def save_checkpoint(self, iter_idx: int):
+        """Save `{params, opt_state, step, rng}` (reference: base.py:226-251).
+        Multi-host safe: orbax coordinates across processes."""
+        import orbax.checkpoint as ocp
+        path = (self._checkpoint_dir() / str(iter_idx)).resolve()
+        logger.info(f"Saving checkpoint at iteration {iter_idx} -> {path}")
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "rng": jax.random.key_data(self.state.rng),
+            }
+            ckptr.save(path, payload, force=True)
+
+    def load_networks(self, iter_idx: int):
+        """Restore params (+ optimizers when configured) from a checkpoint
+        (reference parity: base.py:253-287, `load_optimizers` semantics)."""
+        import orbax.checkpoint as ocp
+        path = (self._checkpoint_dir() / str(iter_idx)).resolve()
+        assert path.exists(), f"No checkpoint at {path}"
+        logger.info(f"Loading checkpoint of iteration {iter_idx} from {path}")
+
+        load_optimizers = False
+        if self.is_train:
+            load_optimizers = bool(self.conf.train.checkpointing.load_optimizers)
+
+        with ocp.StandardCheckpointer() as ckptr:
+            if self.state is not None:
+                target = {
+                    "params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "step": self.state.step,
+                    "rng": jax.random.key_data(self.state.rng),
+                }
+                restored = ckptr.restore(path, target)
+                new_state = self.state.replace(
+                    params=restored["params"],
+                    rng=jax.random.wrap_key_data(restored["rng"]),
+                    step=restored["step"],
+                )
+                if load_optimizers:
+                    new_state = new_state.replace(opt_state=restored["opt_state"])
+                else:
+                    logger.info("Optimizers not loaded (load_optimizers=False).")
+                self.state = new_state
+            else:
+                # Eval/infer: no optimizer state exists; restore params only.
+                restored = ckptr.restore(path)
+                params = {name: restored["params"][name] for name in self.networks}
+                self.state = GANState(
+                    step=jnp.asarray(restored.get("step", iter_idx), jnp.int32),
+                    params=params,
+                    opt_state={},
+                    pools={},
+                    rng=jax.random.key(0),
+                )
+
+
+def _np_dtype(v):
+    return np.asarray(v).dtype if not hasattr(v, "dtype") else v.dtype

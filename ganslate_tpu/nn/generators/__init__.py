@@ -1,0 +1,2 @@
+from ganslate_tpu.nn.generators.resnet.resnet2d import Resnet2D, Resnet2DConfig
+from ganslate_tpu.nn.generators.resnet.resnet3d import Resnet3D, Resnet3DConfig

@@ -1,0 +1,114 @@
+"""Rank-generic ResNet encoder-decoder generator (CycleGAN's c7s1-64 design).
+
+Architecture parity with the reference Resnet2D/Resnet3D
+(/root/reference/ganslate/nn/generators/resnet/resnet2d.py:14-93, resnet3d.py):
+c7s1-64 (reflection/replication padded) -> two stride-2 downsampling convs
+(64->128->256) -> N residual blocks -> two stride-2 transposed convs -> c7s1-out
+-> tanh. InstanceNorm + ReLU throughout.
+
+TPU-first choices: one implementation for any spatial rank (kernel rank drives
+2D vs 3D), channels-last layout, reflection padding folded into convs, and the
+encoder feature taps needed by CUT exposed via ``extract_features`` (the
+reference exposes `self.encoder` as a ModuleList for the same purpose,
+resnet2d.py:46).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+from flax import linen as nn
+
+from ganslate_tpu.nn.layers import (Conv, ConvTranspose, get_norm_layer,
+                                    is_bias_before_norm, make_initializer)
+
+
+class ResidualBlock(nn.Module):
+    features: int
+    norm_type: str
+    pad_mode: str
+    spatial_dims: int
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self, x):
+        norm = get_norm_layer(self.norm_type)
+        use_bias = is_bias_before_norm(self.norm_type)
+        k = (3,) * self.spatial_dims
+        h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
+                 kernel_init=self.kernel_init, name="conv1")(x)
+        h = norm()(h)
+        h = nn.relu(h)
+        h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
+                 kernel_init=self.kernel_init, name="conv2")(h)
+        h = norm()(h)
+        return x + h
+
+
+class ResnetGenerator(nn.Module):
+    in_channels: int
+    out_channels: int
+    norm_type: str = "instance"
+    n_residual_blocks: int = 9
+    ngf: int = 64
+    spatial_dims: int = 2
+    # 2D reference uses ReflectionPad, 3D uses ReplicationPad.
+    pad_mode: str = "reflect"
+    weight_init_type: str = "normal"
+    weight_init_gain: float = 0.02
+
+    # Encoder depth (initial conv + 2 downs + n res blocks) for CUT taps.
+    @property
+    def num_feature_levels(self):
+        return 1 + 2 + self.n_residual_blocks
+
+    @nn.compact
+    def __call__(self, x, extract_features: Optional[Sequence[int]] = None):
+        """If ``extract_features`` is given, returns the list of encoder
+        activations at those tap indices instead of the translated image
+        (CUT feature extraction path)."""
+        init = make_initializer(self.weight_init_type, self.weight_init_gain)
+        norm = get_norm_layer(self.norm_type)
+        use_bias = is_bias_before_norm(self.norm_type)
+        k3 = (3,) * self.spatial_dims
+        k7 = (7,) * self.spatial_dims
+
+        features = [x]
+
+        # Initial c7s1-ngf block.
+        h = Conv(self.ngf, k7, padding=3, pad_mode=self.pad_mode, use_bias=use_bias,
+                 kernel_init=init, name="initial")(x)
+        h = norm()(h)
+        h = nn.relu(h)
+        features.append(h)
+
+        # Two stride-2 downsampling convs.
+        feats = self.ngf
+        for i in range(2):
+            feats *= 2
+            h = Conv(feats, k3, strides=2, padding=1, use_bias=use_bias,
+                     kernel_init=init, name=f"down{i}")(h)
+            h = norm()(h)
+            h = nn.relu(h)
+            features.append(h)
+
+        # Residual core.
+        for i in range(self.n_residual_blocks):
+            h = ResidualBlock(feats, self.norm_type, self.pad_mode, self.spatial_dims,
+                              init, name=f"res{i}")(h)
+            features.append(h)
+
+        if extract_features is not None:
+            return [features[i] for i in extract_features]
+
+        # Two stride-2 upsampling transposed convs.
+        for i in range(2):
+            feats //= 2
+            h = ConvTranspose(feats, k3, strides=2, padding=1, output_padding=1,
+                              kernel_init=init, name=f"up{i}")(h)
+            h = norm()(h)
+            h = nn.relu(h)
+
+        # Output c7s1-out + tanh.
+        h = Conv(self.out_channels, k7, padding=3, pad_mode=self.pad_mode,
+                 use_bias=use_bias, kernel_init=init, name="out")(h)
+        return jax.numpy.tanh(h)

@@ -1,0 +1,227 @@
+"""Rank-generic conv/norm building blocks, TPU-first.
+
+Everything is channels-last (NHWC / NDHWC) — the layout XLA:TPU tiles best
+onto the MXU. Convolutions use explicit torch-equivalent padding so that
+(a) output shapes match the reference architectures exactly, and (b) a
+torch-checkpoint importer can map weights one-to-one
+(reference architectures: /root/reference/ganslate/nn/).
+
+One implementation serves both 2D and 3D: the spatial rank is inferred from
+``kernel_size``, which is how the whole generator/discriminator zoo avoids
+the reference's duplicated *2d.py / *3d.py module pairs.
+"""
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+# ------------------------------------------------------------- initializers
+
+
+def make_initializer(weight_init_type: str = "normal", gain: float = 0.02):
+    """Kernel initializer matching the reference init menu
+    (/root/reference/ganslate/nn/utils.py:13-36)."""
+    if weight_init_type == "normal":
+        return nn.initializers.normal(stddev=gain)
+    if weight_init_type == "xavier":
+        # std = gain * sqrt(2 / (fan_in + fan_out)) -> variance gain^2 / fan_avg
+        return nn.initializers.variance_scaling(gain ** 2, "fan_avg", "normal")
+    if weight_init_type == "kaiming":
+        # torch kaiming_normal_(a=0, mode='fan_in'): std = sqrt(2 / fan_in)
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if weight_init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=gain)
+    raise NotImplementedError(f"initialization method `{weight_init_type}` is not implemented")
+
+
+# ------------------------------------------------------------------ padding
+
+
+def _to_tuple(v: Union[int, Sequence[int]], n: int) -> Tuple[int, ...]:
+    if isinstance(v, int):
+        return (v,) * n
+    return tuple(v)
+
+
+_PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "edge": "edge"}
+
+
+def pad_spatial(x: Array, pad: Sequence[int], mode: str = "zeros") -> Array:
+    """Pad the spatial dims of a channels-last tensor (N, *spatial, C)."""
+    if all(p == 0 for p in pad):
+        return x
+    cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
+    return jnp.pad(x, cfg, mode=_PAD_MODES[mode])
+
+
+# -------------------------------------------------------------------- convs
+
+
+class Conv(nn.Module):
+    """Convolution with torch-style symmetric integer padding.
+
+    ``pad_mode`` in {'zeros','reflect','replicate'} folds the reference's
+    ReflectionPad2d / ReplicationPad3d pre-padding layers into the conv.
+    Spatial rank = len(kernel_size).
+    """
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    pad_mode: str = "zeros"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n = len(self.kernel_size)
+        pad = _to_tuple(self.padding, n)
+        if self.pad_mode == "zeros":
+            lax_padding = [(p, p) for p in pad]
+        else:
+            x = pad_spatial(x, pad, self.pad_mode)
+            lax_padding = [(0, 0)] * n
+        return nn.Conv(
+            features=self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=_to_tuple(self.strides, n),
+            padding=lax_padding,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """Fractionally-strided conv with torch ConvTranspose output geometry:
+
+        out = (in - 1) * stride - 2 * padding + kernel + output_padding
+
+    Implemented directly via `lax.conv_general_dilated` with input dilation,
+    which XLA lowers onto the MXU as a regular convolution.
+    """
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    output_padding: Union[int, Sequence[int]] = 0
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n = len(self.kernel_size)
+        k = tuple(self.kernel_size)
+        s = _to_tuple(self.strides, n)
+        p = _to_tuple(self.padding, n)
+        op = _to_tuple(self.output_padding, n)
+
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (*k, in_features, self.features),
+                            x.dtype)
+        pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(n)]
+        spatial = "".join("DHW"[3 - n:][i] for i in range(n))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape,
+            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(1,) * n,
+            padding=pads,
+            lhs_dilation=s,
+            rhs_dilation=(1,) * n,
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+# -------------------------------------------------------------------- norms
+
+
+class InstanceNorm(nn.Module):
+    """Instance normalization over spatial dims, per sample & channel.
+
+    Matches torch InstanceNorm2d/3d defaults: affine=False,
+    track_running_stats=False, eps=1e-5. Stats are computed in fp32 even under
+    a bf16 compute policy (variance underflows in bf16).
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        axes = tuple(range(1, x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y.astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """Batch norm with running stats, torch-default hyperparams.
+
+    Running stats live in the `batch_stats` collection; GAN train states carry
+    them alongside params when a model opts into norm_type='batch'.
+    """
+    use_running_average: bool = False
+    momentum: float = 0.9  # flax momentum = 1 - torch momentum (0.1)
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            name="bn",
+        )(x)
+
+
+def get_norm_layer(norm_type: str = "instance"):
+    """Factory mapping config `norm_type` to a module constructor
+    (reference parity: nn/utils.py:53-68). Returns None for 'none'."""
+    if norm_type == "instance":
+        return InstanceNorm
+    if norm_type == "batch":
+        return BatchNorm
+    if norm_type in ("none", None):
+        return None
+    raise NotImplementedError(f"Normalization layer `{norm_type}` not supported")
+
+
+def is_bias_before_norm(norm_type: str = "instance") -> bool:
+    """Conv keeps its bias before InstanceNorm (no affine), drops it before
+    BatchNorm (affine absorbs it). Reference parity: nn/utils.py:71-80."""
+    if norm_type in ("instance", "none", None):
+        return True
+    if norm_type == "batch":
+        return False
+    raise NotImplementedError(f"Normalization layer `{norm_type}` not supported")
+
+
+# --------------------------------------------------------------- activations
+
+
+def leaky_relu(x: Array, negative_slope: float = 0.2) -> Array:
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+class PReLU(nn.Module):
+    """Channel-shared PReLU (torch nn.PReLU default: one learned slope)."""
+    init_slope: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        slope = self.param("slope", nn.initializers.constant(self.init_slope), (1,),
+                           jnp.float32)
+        return jnp.where(x >= 0, x, x * slope.astype(x.dtype))

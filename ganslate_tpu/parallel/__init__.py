@@ -1,0 +1,3 @@
+from ganslate_tpu.parallel.mesh import (batch_sharding, get_mesh, make_mesh,  # noqa: F401
+                                        replicated_sharding, set_mesh,
+                                        shard_batch)
