@@ -1,0 +1,88 @@
+"""Engine bases: mode isolation + the shared inference path.
+
+Reference parity: /root/reference/ganslate/engines/base.py — conf deep-copy
+with per-engine mode, sliding-window-or-direct inference dispatch, and
+dataset-`save()` output dispatch with decollated per-sample metadata.
+"""
+
+import copy
+import logging
+from abc import ABC, abstractmethod
+from pathlib import Path
+
+from ganslate_tpu.utils.io import decollate
+from ganslate_tpu.utils.sliding_window_inferer import SlidingWindowInferer
+
+logger = logging.getLogger(__name__)
+
+
+class BaseEngine(ABC):
+
+    def __init__(self, conf):
+        # Deep copy isolates this engine's conf.mode from other engines.
+        self.conf = copy.deepcopy(conf)
+        self._set_mode()
+
+        self.output_dir = Path(conf[conf.mode].output_dir) / self.conf.mode
+        self.model = None
+        self.logger = logger
+
+    @abstractmethod
+    def _set_mode(self):
+        """Set self.conf.mode for this engine ('train', 'val', ...)."""
+
+
+class BaseEngineWithInference(BaseEngine):
+
+    def __init__(self, conf):
+        super().__init__(conf)
+        self.sliding_window_inferer = self._init_sliding_window_inferer()
+
+    def infer(self, data, *args, **kwargs):
+        from ganslate_tpu.parallel import shard_batch
+        data = shard_batch({"x": data})["x"]
+        if self.sliding_window_inferer:
+            fn, params = self.model.get_pure_infer(*args, **kwargs)
+            return self.sliding_window_inferer(data, fn, params)
+        return self.model.infer(data, *args, **kwargs)
+
+    def _init_sliding_window_inferer(self):
+        sw = self.conf[self.conf.mode].sliding_window \
+            if "sliding_window" in self.conf[self.conf.mode] else None
+        if not sw:
+            return None
+        return SlidingWindowInferer(roi_size=tuple(sw.window_size),
+                                    sw_batch_size=sw.batch_size,
+                                    overlap=sw.overlap,
+                                    mode=sw.mode,
+                                    cval=-1.0)
+
+    def save_generated_tensor(self, generated_tensor, metadata, data_loader,
+                              idx=None, dataset_name=None):
+        """Dispatch outputs to the dataset's `save()` when it defines one."""
+        save_fn = getattr(data_loader.dataset, "save", False)
+        if not save_fn:
+            return
+
+        def save(tensor, save_dir, metadata=None):
+            if metadata is None:
+                save_fn(tensor=tensor, save_dir=save_dir)
+            else:
+                save_fn(tensor=tensor, save_dir=save_dir, metadata=metadata)
+
+        save_dir = "saved/"
+        if dataset_name is not None:
+            save_dir += f"{dataset_name}/"
+        if idx is not None:
+            save_dir += f"{idx}/"
+        save_dir = self.output_dir / save_dir
+
+        if metadata:
+            metadata = decollate(metadata, batch_size=len(generated_tensor))
+
+        import numpy as np
+        generated_tensor = np.asarray(generated_tensor)
+        for batch_idx in range(len(generated_tensor)):
+            current_metadata = metadata[batch_idx] if metadata is not None else None
+            save(tensor=generated_tensor[batch_idx], save_dir=save_dir,
+                 metadata=current_metadata)

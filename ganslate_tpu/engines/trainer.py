@@ -1,0 +1,117 @@
+"""Trainer: the training loop engine.
+
+Reference parity: /root/reference/ganslate/engines/trainer.py — zip(iters,
+loader) loop, per-iteration model step + tracker log, freq-gated rank-0
+checkpointing, freq-gated validation, resume semantics
+(start_iter = 1 + load_iter, n_iters relative to the loaded iteration).
+
+TPU notes:
+- the model's first setup needs an example batch (shapes) — the Trainer peeks
+  one batch from the loader, uses it for `model.setup`, and trains on it as
+  iteration one (nothing is skipped);
+- `update_learning_rate` is a no-op here: schedules advance inside the optax
+  chain within the jitted step;
+- the loop body enqueues the next step before reading logs — JAX's async
+  dispatch overlaps host-side tracker work with device compute.
+"""
+
+from ganslate_tpu.engines.base import BaseEngine
+from ganslate_tpu.engines.validator_tester import Validator
+from ganslate_tpu.utils import communication, environment
+from ganslate_tpu.utils.builders import build_gan, build_loader
+from ganslate_tpu.utils.trackers.training import TrainingTracker
+
+
+class Trainer(BaseEngine):
+
+    def __init__(self, conf):
+        super().__init__(conf)
+        environment.setup_logging_with_config(self.conf)
+
+        if self.conf.train.seed:
+            environment.set_seed(self.conf.train.seed)
+
+        self.tracker = TrainingTracker(self.conf)
+
+        self.data_loader = build_loader(self.conf)
+        self._data_iter = iter(self.data_loader)
+        self._first_batch = next(self._data_iter)
+
+        self.model = build_gan(self.conf)
+        self.model.setup(example_batch=self._first_batch)
+
+        self.validator = self._init_validator()
+
+        start_iter = 1
+        if self.conf.train.checkpointing.load_iter:
+            start_iter += self.conf.train.checkpointing.load_iter
+
+        end_iter = 1 + self.conf.train.n_iters + self.conf.train.n_iters_decay
+        assert start_iter < end_iter, \
+            "If continuing, define the `n_iters` relative to the loaded iteration."
+
+        self.iters = range(start_iter, end_iter)
+        self.iter_idx = 0
+
+    def _set_mode(self):
+        self.conf.mode = "train"
+
+    def _batches(self):
+        yield self._first_batch
+        yield from self._data_iter
+
+    def run(self):
+        self.logger.info("Training started.")
+
+        self.tracker.start_dataloading_timer()
+        for i, data in zip(self.iters, self._batches()):
+            self._set_iter_idx(i)
+            self.tracker.start_computation_timer()
+            self.tracker.end_dataloading_timer()
+
+            self._run_iteration(data)
+            self.tracker.end_computation_timer()
+
+            learning_rates, losses, visuals, metrics = self.model.get_loggable_data()
+            self.tracker.log_iter(learning_rates, losses, visuals, metrics)
+
+            self._save_checkpoint()
+            self.model.update_learning_rate()
+
+            self._run_validation()
+
+            self.tracker.start_dataloading_timer()
+
+        self.tracker.close()
+        if self.validator:
+            self.validator.tracker.close()
+
+    def _run_iteration(self, data):
+        self.model.set_input(data)
+        self.model.optimize_parameters()
+
+    def _save_checkpoint(self):
+        # orbax coordinates multi-host saving internally; gate on rank 0 for
+        # the single-host case to mirror the reference.
+        if communication.get_rank() == 0:
+            freq = self.conf.train.checkpointing.freq
+            start_after = self.conf.train.checkpointing.start_after
+            if self.iter_idx % freq == 0 and self.iter_idx >= start_after:
+                self.logger.info(f"Saving the model after {self.iter_idx} iterations.")
+                self.model.save_checkpoint(self.iter_idx)
+
+    def _init_validator(self):
+        if not self.conf.get("val"):
+            return None
+        return Validator(self.conf, self.model)
+
+    def _run_validation(self):
+        if self.validator:
+            freq = self.conf.val.freq
+            start_after = self.conf.val.start_after
+            if self.iter_idx % freq == 0 and self.iter_idx >= start_after:
+                self.validator.run(current_idx=self.iter_idx)
+
+    def _set_iter_idx(self, iter_idx):
+        self.iter_idx = iter_idx
+        self.tracker.set_iter_idx(iter_idx)

@@ -269,6 +269,27 @@ class BaseGAN(ABC):
             self._infer_fns[name] = jax.jit(fn)
         return self._infer_fns[name](self.state.params[name], x)
 
+    def get_pure_infer(self, direction: str = "AB"):
+        """Return `(pure_fn, params)` where `pure_fn(params, x)` applies the
+        direction's generator under the compute policy. Used by the
+        sliding-window inferer so parameters stay traced arguments (not baked
+        constants) in its compiled program."""
+        name = f"G_{direction}" if f"G_{direction}" in self.networks else "G"
+        assert name in self.networks, f"Specify a valid generator direction, got {direction}."
+        cache_key = f"pure_{name}"
+        if cache_key not in self._infer_fns:
+            module = self.networks[name]
+            dtype = self.compute_dtype
+
+            def fn(params, x):
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+                return module.apply({"params": p}, x.astype(dtype)).astype(jnp.float32)
+
+            self._infer_fns[cache_key] = fn
+        return self._infer_fns[cache_key], self.state.params[name]
+
     # ---------------------------------------------------------- checkpoints
 
     def _checkpoint_dir(self) -> Path:

@@ -76,9 +76,18 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     dim 0 across ``data``. In a multi-controller job every process passes its
     LOCAL share of the global batch (the loader already yields local shares);
     the global array is assembled from per-process shards over ICI/DCN."""
-    sharding = batch_sharding(mesh)
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-            batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    mesh = mesh or get_mesh()
+    n = mesh.devices.size
+    sharded = batch_sharding(mesh)
+    replicated = replicated_sharding(mesh)
+
+    def place(x):
+        x = np.asarray(x) if not hasattr(x, "sharding") else x
+        # Batches that don't divide the data axis (e.g. single-sample
+        # deployment inference) are replicated instead of sharded.
+        sharding = sharded if (np.ndim(x) > 0 and x.shape[0] % n == 0) else replicated
+        if jax.process_count() > 1 and sharding is sharded:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, batch)

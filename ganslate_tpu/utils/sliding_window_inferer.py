@@ -1,0 +1,192 @@
+"""Sliding-window (patch-wise) inference with overlap blending, TPU-native.
+
+Replaces the reference's MONAI `SlidingWindowInferer` wrapper
+(/root/reference/ganslate/utils/sliding_window_inferer.py): scan an ROI grid
+with fractional overlap, run the network over batches of windows, blend
+overlapping predictions with a gaussian (or constant) importance map, and
+support running 2D networks over 3D volumes via a depth-1 ROI squeeze
+(sliding_window_inferer.py:36-52).
+
+TPU redesign (MONAI's version is dynamic-shaped host-loop code):
+- the window-start grid is computed on host per input shape and baked into
+  the compiled program (static shapes, one compile per volume geometry);
+- windows are gathered with `vmap(dynamic_slice)`, run through the network
+  `sw_batch_size` at a time under `lax.scan` (static trip count), and
+  blended with read-modify-write `dynamic_update_slice` accumulation that XLA
+  performs in place;
+- the whole thing — gather, network forwards, weighted overlap-add,
+  normalization — is ONE jitted program per (input shape, network) pair.
+"""
+
+import math
+from functools import partial
+from typing import Callable, Dict, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _scan_interval(image_size, roi_size, overlap: float) -> Tuple[int, ...]:
+    """Step between window starts per dim (MONAI-compatible)."""
+    interval = []
+    for image_d, roi_d in zip(image_size, roi_size):
+        if roi_d == image_d:
+            interval.append(roi_d)
+        else:
+            interval.append(max(int(roi_d * (1 - overlap)), 1))
+    return tuple(interval)
+
+
+def dense_patch_slices(image_size, roi_size, scan_interval) -> np.ndarray:
+    """All window start coordinates covering the padded image (host-side)."""
+    starts_per_dim = []
+    for image_d, roi_d, step in zip(image_size, roi_size, scan_interval):
+        scan_num = int(math.ceil(max(image_d - roi_d, 0) / step)) + 1
+        starts = [min(i * step, image_d - roi_d) for i in range(scan_num)]
+        starts_per_dim.append(sorted(set(starts)))
+    grids = np.meshgrid(*starts_per_dim, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1).astype(np.int32)
+
+
+def gaussian_importance_map(roi_size, sigma_scale: float = 0.125,
+                            dtype=np.float32) -> np.ndarray:
+    """Centered gaussian over the ROI; floored to its min positive value so
+    every voxel keeps nonzero weight (MONAI behavior)."""
+    grids = np.meshgrid(*[np.arange(s, dtype=np.float64) for s in roi_size],
+                        indexing="ij")
+    value = np.zeros_like(grids[0])
+    for g, s in zip(grids, roi_size):
+        center = (s - 1) / 2.0
+        sigma = max(s * sigma_scale, 1e-8)
+        value += ((g - center) / sigma) ** 2
+    imp = np.exp(-0.5 * value)
+    imp = np.clip(imp, imp[imp > 0].min(), None)
+    return imp.astype(dtype)
+
+
+class SlidingWindowInferer:
+    """Callable: `inferer(inputs, network, *args, **kwargs)`.
+
+    inputs: (N, *spatial, C) channels-last. A 2D ROI applied to 3D inputs is
+    broadcast to depth-1 (run-2D-over-3D path, reference parity).
+    """
+
+    def __init__(self, roi_size: Sequence[int], sw_batch_size: int = 1,
+                 overlap: float = 0.25, mode: str = "gaussian",
+                 cval: float = 0.0, sigma_scale: float = 0.125):
+        self.roi_size = tuple(int(r) for r in roi_size)
+        self.sw_batch_size = int(sw_batch_size)
+        self.overlap = float(overlap)
+        assert mode in ("gaussian", "constant"), f"unsupported blend mode {mode}"
+        self.mode = mode
+        self.cval = float(cval)
+        self.sigma_scale = sigma_scale
+        self._cache: Dict = {}
+
+    def __call__(self, inputs: jax.Array, network: Callable, params=None):
+        """`network` must be PURE: `network(params, x) -> y` with `params` a
+        pytree passed as a traced argument (so weights are not baked into the
+        compiled program as constants and eval-during-training sees fresh
+        parameters). If `params` is None, `network(x)` is assumed pure with
+        nothing closed over that changes across calls."""
+        spatial_rank = inputs.ndim - 2
+        roi = self.roi_size
+
+        # 2D network over 3D volume: broadcast ROI to depth 1.
+        squeeze_depth = False
+        if spatial_rank == 3 and len(roi) == 2:
+            roi = (1, *roi)
+            squeeze_depth = True
+        assert len(roi) == spatial_rank, \
+            f"roi {roi} does not match input spatial rank {spatial_rank}"
+
+        key = (inputs.shape, str(inputs.dtype), roi, squeeze_depth, id(network),
+               params is None)
+        if key not in self._cache:
+            self._cache[key] = self._build(inputs.shape, roi, squeeze_depth, network)
+        return self._cache[key](inputs, params)
+
+    def _build(self, in_shape, roi, squeeze_depth, network):
+        spatial = in_shape[1:-1]
+        channels = in_shape[-1]
+
+        # Pad spatial dims up to at least the ROI (symmetric, cval).
+        padded = tuple(max(s, r) for s, r in zip(spatial, roi))
+        pad_cfg = [(0, 0)]
+        for s, p in zip(spatial, padded):
+            lo = (p - s) // 2
+            pad_cfg.append((lo, p - s - lo))
+        pad_cfg.append((0, 0))
+
+        interval = _scan_interval(padded, roi, self.overlap)
+        starts = dense_patch_slices(padded, roi, interval)  # (n_windows, rank)
+        n_windows = starts.shape[0]
+        sw_batch = min(self.sw_batch_size, n_windows)
+        n_batches = -(-n_windows // sw_batch)
+        # Pad window list to a multiple of sw_batch by repeating the last
+        # window — its prediction is identical, and overlap-add of the same
+        # weighted value is normalized out by the matching weight sum.
+        pad_windows = n_batches * sw_batch - n_windows
+        if pad_windows:
+            starts = np.concatenate([starts, np.repeat(starts[-1:], pad_windows, 0)])
+        starts_dev = jnp.asarray(starts.reshape(n_batches, sw_batch, -1))
+
+        if self.mode == "gaussian":
+            importance = gaussian_importance_map(roi, self.sigma_scale)
+        else:
+            importance = np.ones(roi, dtype=np.float32)
+        importance_dev = jnp.asarray(importance)[..., None]  # (*roi, 1)
+
+        roi_t = tuple(roi)
+        rank = len(roi_t)
+
+        def gather_window(vol, start):
+            return jax.lax.dynamic_slice(
+                vol, (*start,) + (0,), (*roi_t, channels))
+
+        def run_volume(vol, net_params):  # vol: (*padded, C)
+            out0 = jnp.zeros((*padded, channels), jnp.float32)
+            w0 = jnp.zeros((*padded, 1), jnp.float32)
+
+            def apply_net(x):
+                return network(x) if net_params is None else network(net_params, x)
+
+            def body(carry, start_batch):
+                out, w = carry
+                windows = jax.vmap(gather_window, in_axes=(None, 0))(vol, start_batch)
+                if squeeze_depth:
+                    preds = apply_net(windows[:, 0])[:, None]
+                else:
+                    preds = apply_net(windows)
+                preds = preds.astype(jnp.float32) * importance_dev
+
+                def scatter_one(carry, idx):
+                    out, w = carry
+                    start = start_batch[idx]
+                    start_full = (*(start[d] for d in range(rank)), 0)
+                    cur = jax.lax.dynamic_slice(out, start_full, (*roi_t, channels))
+                    out = jax.lax.dynamic_update_slice(out, cur + preds[idx], start_full)
+                    cur_w = jax.lax.dynamic_slice(w, start_full[:-1] + (0,), (*roi_t, 1))
+                    w = jax.lax.dynamic_update_slice(w, cur_w + importance_dev,
+                                                     start_full[:-1] + (0,))
+                    return (out, w), None
+
+                (out, w), _ = jax.lax.scan(scatter_one, (out, w),
+                                           jnp.arange(sw_batch))
+                return (out, w), None
+
+            (out, w), _ = jax.lax.scan(body, (out0, w0), starts_dev)
+            return out / w
+
+        @jax.jit
+        def run(inputs, net_params):
+            x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
+            out = jax.vmap(run_volume, in_axes=(0, None))(x, net_params)
+            # Crop back to the original spatial extent.
+            crops = tuple(slice(lo, lo + s)
+                          for (lo, _), s in zip(pad_cfg[1:-1], spatial))
+            return out[(slice(None), *crops, slice(None))]
+
+        return run
