@@ -88,7 +88,11 @@ class Trainer(BaseEngine):
 
     def _run_iteration(self, data):
         self.model.set_input(data)
-        self.model.optimize_parameters()
+        # Block on device completion only on log iterations, so the tracker's
+        # computation timer reports device time without breaking async
+        # dispatch on the other iterations.
+        will_log = self.iter_idx % self.conf.train.logging.freq == 0
+        self.model.optimize_parameters(sync=will_log)
 
     def _save_checkpoint(self):
         # orbax coordinates multi-host saving internally; gate on rank 0 for

@@ -226,12 +226,24 @@ class BaseGAN(ABC):
         self._batch = shard_batch(
             {k: v for k, v in batch.items() if hasattr(v, "shape")}, self.mesh)
 
-    def optimize_parameters(self):
-        """Run the single fused train step; keep logs as lazy device arrays."""
+    def optimize_parameters(self, sync: bool = False):
+        """Run the single fused train step; keep logs as lazy device arrays.
+
+        `sync=True` blocks until the step finishes on device — engines pass it
+        on log-frequency iterations so the computation timer measures real
+        device time instead of async dispatch time. Off-frequency steps stay
+        fully asynchronous (host races ahead, device queue stays full)."""
         self.state, logs = self._train_step_fn(self.state, self._batch)
         self.losses = logs.get("losses", {})
         self.visuals = logs.get("visuals", {})
         self.metrics = logs.get("metrics", {})
+        if sync and self.losses:
+            # A host read, not block_until_ready: some PJRT transports (e.g.
+            # the axon relay) return from block_until_ready before execution
+            # finishes; fetching a scalar is the reliable fence.
+            for v in self.losses.values():
+                float(jax.device_get(v))
+                break
 
     def update_learning_rate(self):
         """No-op: LR schedules are part of the optax chain and advance with
