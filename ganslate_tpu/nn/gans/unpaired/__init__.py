@@ -1,1 +1,2 @@
+from ganslate_tpu.nn.gans.unpaired.cut import CUT, CUTConfig
 from ganslate_tpu.nn.gans.unpaired.cyclegan import CycleGAN, CycleGANConfig

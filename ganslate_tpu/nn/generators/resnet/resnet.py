@@ -19,7 +19,8 @@ import jax
 from flax import linen as nn
 
 from ganslate_tpu.nn.layers import (Conv, ConvTranspose, get_norm_layer,
-                                    is_bias_before_norm, make_initializer)
+                                    is_bias_before_norm, make_initializer,
+                                    pad_spatial)
 
 
 class ResidualBlock(nn.Module):
@@ -56,46 +57,55 @@ class ResnetGenerator(nn.Module):
     weight_init_type: str = "normal"
     weight_init_gain: float = 0.02
 
-    # Encoder depth (initial conv + 2 downs + n res blocks) for CUT taps.
+    # Encoder tap count (torch flattened layer list): 4 initial + 2*3 downs
+    # + n res blocks.
     @property
     def num_feature_levels(self):
-        return 1 + 2 + self.n_residual_blocks
+        return 10 + self.n_residual_blocks
 
     @nn.compact
     def __call__(self, x, extract_features: Optional[Sequence[int]] = None):
         """If ``extract_features`` is given, returns the list of encoder
         activations at those tap indices instead of the translated image
-        (CUT feature extraction path)."""
+        (CUT feature extraction path).
+
+        Tap indices match the reference's flattened encoder ModuleList
+        (resnet2d.py:46) so experiment YAMLs keep their `nce_layers` values:
+        0 pad | 1 conv | 2 norm | 3 relu | 4 conv_s2 | 5 norm | 6 relu |
+        7 conv_s2 | 8 norm | 9 relu | 10+k res-block k.
+        """
         init = make_initializer(self.weight_init_type, self.weight_init_gain)
         norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
         k3 = (3,) * self.spatial_dims
         k7 = (7,) * self.spatial_dims
 
-        features = [x]
+        features = []
 
-        # Initial c7s1-ngf block.
-        h = Conv(self.ngf, k7, padding=3, pad_mode=self.pad_mode, use_bias=use_bias,
-                 kernel_init=init, name="initial")(x)
-        h = norm()(h)
-        h = nn.relu(h)
-        features.append(h)
+        def tap(h):
+            features.append(h)
+            return h
+
+        # Initial c7s1-ngf block (pad / conv / norm / relu are separate taps).
+        h = tap(pad_spatial(x, (3,) * self.spatial_dims, self.pad_mode))
+        h = tap(Conv(self.ngf, k7, padding=0, use_bias=use_bias,
+                     kernel_init=init, name="initial")(h))
+        h = tap(norm()(h))
+        h = tap(nn.relu(h))
 
         # Two stride-2 downsampling convs.
         feats = self.ngf
         for i in range(2):
             feats *= 2
-            h = Conv(feats, k3, strides=2, padding=1, use_bias=use_bias,
-                     kernel_init=init, name=f"down{i}")(h)
-            h = norm()(h)
-            h = nn.relu(h)
-            features.append(h)
+            h = tap(Conv(feats, k3, strides=2, padding=1, use_bias=use_bias,
+                         kernel_init=init, name=f"down{i}")(h))
+            h = tap(norm()(h))
+            h = tap(nn.relu(h))
 
         # Residual core.
         for i in range(self.n_residual_blocks):
-            h = ResidualBlock(feats, self.norm_type, self.pad_mode, self.spatial_dims,
-                              init, name=f"res{i}")(h)
-            features.append(h)
+            h = tap(ResidualBlock(feats, self.norm_type, self.pad_mode,
+                                  self.spatial_dims, init, name=f"res{i}")(h))
 
         if extract_features is not None:
             return [features[i] for i in extract_features]

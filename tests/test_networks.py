@@ -45,12 +45,15 @@ def test_resnet2d_feature_extraction_shapes():
     shapes = param_shapes(model, (1, 64, 64, 3))
     x = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
     feats = jax.eval_shape(
-        lambda p, x: model.apply({"params": p}, x, extract_features=[0, 1, 3, 5]),
+        lambda p, x: model.apply({"params": p}, x,
+                                 extract_features=[0, 4, 8, 10, 11]),
         shapes, x)
-    assert feats[0].shape == (1, 64, 64, 3)      # input tap
-    assert feats[1].shape == (1, 64, 64, 64)     # after initial conv
-    assert feats[2].shape == (1, 16, 16, 256)    # after 2nd downsample
-    assert feats[3].shape == (1, 16, 16, 256)    # after res block
+    # Reference tap indices (resnet2d encoder ModuleList order):
+    assert feats[0].shape == (1, 70, 70, 3)      # 0: reflection-padded input
+    assert feats[1].shape == (1, 32, 32, 128)    # 4: first stride-2 conv
+    assert feats[2].shape == (1, 16, 16, 256)    # 8: norm after 2nd stride-2
+    assert feats[3].shape == (1, 16, 16, 256)    # 10: res block 0
+    assert feats[4].shape == (1, 16, 16, 256)    # 11: res block 1
 
 
 def test_resnet3d_shape():
