@@ -1,0 +1,197 @@
+"""RevGAN (van der Ouderaa & Worrall, CVPR 2019) as one fused TPU train step.
+
+Algorithm parity with the reference (/root/reference/ganslate/nn/gans/
+unpaired/revgan.py): ONE partially-invertible generator G used forward for
+AB and with `inverse=True` for BA; discriminators D_B, D_A; cycle/identity
+losses identical to CycleGAN; ImagePools for both fake domains; single Adam
+over G, one over both Ds.
+
+Deviation (deliberate): the reference's generator adversarial loss feeds
+D_B(fake_A) / D_A(fake_B) (revgan.py:196-199), i.e. each discriminator judges
+the other domain's fake — inconsistent with its own D step and with CycleGAN.
+We use the domain-consistent pairing D_B(fake_B) / D_A(fake_A).
+
+Memory-constant backprop through the shared invertible core comes from
+`ganslate_tpu.nn.invertible` (recompute-by-inverse custom VJP), replacing
+memcnn + `retain_graph=True` double-backward bookkeeping.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ganslate_tpu import configs
+from ganslate_tpu.data.utils.image_pool import init_pool, query_pool
+from ganslate_tpu.nn.gans.base import BaseGAN, GANState
+from ganslate_tpu.nn.gans.unpaired import cyclegan
+from ganslate_tpu.nn.losses.adversarial_loss import AdversarialLoss
+from ganslate_tpu.nn.losses.cyclegan_losses import CycleGANLosses
+
+
+@dataclass
+class OptimizerConfig(cyclegan.OptimizerConfig):
+    # Same knobs as CycleGAN; kept distinct for future divergence.
+    pass
+
+
+@dataclass
+class RevGANConfig(configs.base.BaseGANConfig):
+    """RevGAN config."""
+    pool_size: int = 50
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+
+
+class RevGAN(BaseGAN):
+
+    def __init__(self, conf):
+        super().__init__(conf)
+        network_names = ["G", "D_B", "D_A"] if self.is_train else ["G"]
+        self.networks = {name: None for name in network_names}
+        self.network_groups = {"G": ["G"], "D": ["D_B", "D_A"]}
+        self.pool_size = conf.train.gan.pool_size if self.is_train else 0
+
+    def init_criterions(self):
+        self.criterion_adv = AdversarialLoss(
+            self.conf.train.gan.optimizer.adversarial_loss_type)
+        self.criterion_G = CycleGANLosses(self.conf)
+
+    def init_optimizers(self):
+        optimizer_conf = self.conf.train.gan.optimizer
+        self.optimizers = {
+            "G": self.make_adam(optimizer_conf.lr_G),
+            "D": self.make_adam(optimizer_conf.lr_D),
+        }
+
+    def init_state_pools(self, batch_spec) -> Dict[str, Any]:
+        pool_dtype = self.compute_dtype
+        return {
+            "fake_B": init_pool(self.pool_size, batch_spec["B"].shape[1:], pool_dtype),
+            "fake_A": init_pool(self.pool_size, batch_spec["A"].shape[1:], pool_dtype),
+        }
+
+    def make_train_step(self):
+        apply = self.apply
+        criterion_adv = self.criterion_adv
+        criterion_G = self.criterion_G
+        use_identity = criterion_G.is_using_identity()
+        training_metrics = self.training_metrics
+        opt_G, opt_D = self.optimizers["G"], self.optimizers["D"]
+
+        def g_loss(params_G, params_D, real_A, real_B):
+            fake_B = apply("G", params_G["G"], real_A)
+            rec_A = apply("G", params_G["G"], fake_B, inverse=True)
+            fake_A = apply("G", params_G["G"], real_B, inverse=True)
+            rec_B = apply("G", params_G["G"], fake_A)
+
+            visuals = {"real_A": real_A, "fake_B": fake_B, "rec_A": rec_A,
+                       "real_B": real_B, "fake_A": fake_A, "rec_B": rec_B}
+            if use_identity:
+                visuals["idt_B"] = apply("G", params_G["G"], real_B)
+                visuals["idt_A"] = apply("G", params_G["G"], real_A, inverse=True)
+
+            pred_B = apply("D_B", params_D["D_B"], fake_B)
+            pred_A = apply("D_A", params_D["D_A"], fake_A)
+            losses = {
+                "G_AB": criterion_adv(pred_B, target_is_real=True),
+                "G_BA": criterion_adv(pred_A, target_is_real=True),
+            }
+            losses.update(criterion_G(visuals))
+            total = sum(jax.tree_util.tree_leaves(losses), jnp.float32(0))
+            return total, (losses, visuals)
+
+        def d_loss(params_D, real_A, real_B, fake_A, fake_B):
+            preds = {
+                "real_B": apply("D_B", params_D["D_B"], real_B),
+                "fake_B": apply("D_B", params_D["D_B"], fake_B),
+                "real_A": apply("D_A", params_D["D_A"], real_A),
+                "fake_A": apply("D_A", params_D["D_A"], fake_A),
+            }
+            loss_D_B = (criterion_adv(preds["real_B"], True) +
+                        criterion_adv(preds["fake_B"], False))
+            loss_D_A = (criterion_adv(preds["real_A"], True) +
+                        criterion_adv(preds["fake_A"], False))
+            return loss_D_B + loss_D_A, ({"D_B": loss_D_B, "D_A": loss_D_A}, preds)
+
+        def train_step(state: GANState, batch):
+            real_A, real_B = batch["A"], batch["B"]
+            rng, k_pool_B, k_pool_A = jax.random.split(state.rng, 3)
+
+            params_G = self.group_params(state.params, "G")
+            params_D = self.group_params(state.params, "D")
+
+            (_, (losses_G, visuals)), grads_G = jax.value_and_grad(
+                g_loss, has_aux=True)(params_G, params_D, real_A, real_B)
+            updates_G, opt_state_G = opt_G.update(grads_G, state.opt_state["G"], params_G)
+            params_G = optax.apply_updates(params_G, updates_G)
+
+            fake_B = jax.lax.stop_gradient(visuals["fake_B"])
+            fake_A = jax.lax.stop_gradient(visuals["fake_A"])
+            pool_B, fake_B_pooled = query_pool(state.pools["fake_B"], fake_B, k_pool_B)
+            pool_A, fake_A_pooled = query_pool(state.pools["fake_A"], fake_A, k_pool_A)
+
+            (_, (losses_D, preds)), grads_D = jax.value_and_grad(
+                d_loss, has_aux=True)(params_D, real_A, real_B,
+                                      fake_A_pooled, fake_B_pooled)
+            updates_D, opt_state_D = opt_D.update(grads_D, state.opt_state["D"], params_D)
+            params_D = optax.apply_updates(params_D, updates_D)
+
+            metrics = {}
+            metrics.update(training_metrics.compute_metrics_G(visuals))
+            metrics.update(training_metrics.compute_metrics_D(
+                "D_B", preds["real_B"], preds["fake_B"]))
+            metrics.update(training_metrics.compute_metrics_D(
+                "D_A", preds["real_A"], preds["fake_A"]))
+
+            new_state = state.replace(
+                step=state.step + 1,
+                params={**params_G, **params_D},
+                opt_state={"G": opt_state_G, "D": opt_state_D},
+                pools={"fake_B": pool_B, "fake_A": pool_A},
+                rng=rng,
+            )
+            logs = {
+                "losses": {**losses_G, **losses_D},
+                "visuals": {k: v.astype(jnp.float32) for k, v in visuals.items()},
+                "metrics": metrics,
+            }
+            return new_state, logs
+
+        return train_step
+
+    def infer(self, x, direction="AB"):
+        """BA direction runs the generator inverted."""
+        assert direction in ("AB", "BA"), \
+            "Specify which generator direction, AB or BA, to use."
+        key = f"pure_G_{direction}"
+        if key not in self._infer_fns:
+            module = self.networks["G"]
+            dtype = self.compute_dtype
+            inverse = direction == "BA"
+
+            def fn(params, x):
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+                return module.apply({"params": p}, x.astype(dtype),
+                                    inverse=inverse).astype(jnp.float32)
+
+            self._infer_fns[key] = jax.jit(fn)
+        return self._infer_fns[key](self.state.params["G"], x)
+
+    def get_pure_infer(self, direction: str = "AB"):
+        module = self.networks["G"]
+        dtype = self.compute_dtype
+        inverse = direction == "BA"
+        key = f"pure_fn_G_{direction}"
+        if key not in self._infer_fns:
+            def fn(params, x):
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+                return module.apply({"params": p}, x.astype(dtype),
+                                    inverse=inverse).astype(jnp.float32)
+            self._infer_fns[key] = fn
+        return self._infer_fns[key], self.state.params["G"]

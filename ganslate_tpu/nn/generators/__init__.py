@@ -1,3 +1,4 @@
+from ganslate_tpu.nn.generators.resnet.piresnet3d import Piresnet3D, Piresnet3DConfig
 from ganslate_tpu.nn.generators.resnet.resnet2d import Resnet2D, Resnet2DConfig
 from ganslate_tpu.nn.generators.resnet.resnet3d import Resnet3D, Resnet3DConfig
 from ganslate_tpu.nn.generators.unet.unet2d import Unet2D, Unet2DConfig
