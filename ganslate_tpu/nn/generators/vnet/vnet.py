@@ -1,0 +1,304 @@
+"""Rank-generic partially-invertible V-Net generator.
+
+Architecture parity with the reference Vnet2D/Vnet3D/SelfAttentionVnet3D
+(/root/reference/ganslate/nn/generators/vnet/vnet3d.py): InputBlock (k5 conv
++ norm + residual channel-repeated input + PReLU), per-level DownBlocks
+(k2 s2 conv + norm + PReLU -> invertible coupling core -> residual + PReLU),
+UpBlocks (k2 s2 transpose to half width + norm + PReLU -> skip concat ->
+invertible core -> residual + PReLU), OutBlock (k5 conv + norm + PReLU + k1
+conv + tanh). Dual AB/BA in/out/down/up convs when `use_inverse` (RevGAN
+compatibility), shared invertible cores; optional separable convs; optional
+SAGAN self-attention after selected down levels.
+
+Invertible cores use the recompute-by-inverse custom VJP when
+`use_memory_saving` (ganslate_tpu.nn.invertible); encoder taps for CUT are
+[input-block out, down_0 out, ..., down_{n-1} out] — the same indexing as the
+reference's `self.encoder` ModuleList (vnet3d.py:83-88).
+"""
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ganslate_tpu.nn.attention import SelfAttentionBlock
+from ganslate_tpu.nn.invertible import InvertibleSequence
+from ganslate_tpu.nn.layers import (Conv, ConvTranspose, PReLU, get_norm_layer,
+                                    is_bias_before_norm, make_initializer)
+from ganslate_tpu.nn.separable import SeparableConv3d, SeparableConvTranspose3d
+
+
+def _conv(is_separable, spatial_dims):
+    if is_separable:
+        assert spatial_dims == 3, "separable convs are 3D-only"
+        return lambda feats, k, **kw: SeparableConv3d(feats, k, **kw)
+    return lambda feats, k, **kw: Conv(feats, (k,) * spatial_dims, **kw)
+
+
+def _convt(is_separable, spatial_dims):
+    if is_separable:
+        assert spatial_dims == 3, "separable convs are 3D-only"
+        return lambda feats, k, **kw: SeparableConvTranspose3d(feats, k, **kw)
+    return lambda feats, k, **kw: ConvTranspose(feats, (k,) * spatial_dims, **kw)
+
+
+class VnetInvBlock(nn.Module):
+    """Half-width residual fn inside V-Net couplings: k5 conv + norm + PReLU."""
+    features: int
+    norm_type: str
+    spatial_dims: int
+    is_separable: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        norm = get_norm_layer(self.norm_type)
+        use_bias = is_bias_before_norm(self.norm_type)
+        conv = _conv(self.is_separable, self.spatial_dims)
+        h = conv(self.features, 5, padding=2, use_bias=use_bias,
+                 kernel_init=self.kernel_init, name="conv")(x)
+        h = norm()(h)
+        return PReLU(self.features)(h)
+
+
+class InputBlock(nn.Module):
+    in_channels: int
+    out_channels: int
+    norm_type: str
+    spatial_dims: int
+    is_separable: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        norm = get_norm_layer(self.norm_type)
+        use_bias = is_bias_before_norm(self.norm_type)
+        conv = _conv(self.is_separable, self.spatial_dims)
+        out = conv(self.out_channels, 5, padding=2, use_bias=use_bias,
+                   kernel_init=self.kernel_init, name="conv1")(x)
+        out = norm()(out)
+        n_repeats = self.out_channels // self.in_channels
+        out = out + jnp.tile(x, (1,) * (x.ndim - 1) + (n_repeats,))
+        return PReLU(self.out_channels)(out)
+
+
+class _DownConv(nn.Module):
+    features: int
+    norm_type: str
+    spatial_dims: int
+    is_separable: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        norm = get_norm_layer(self.norm_type)
+        use_bias = is_bias_before_norm(self.norm_type)
+        conv = _conv(self.is_separable, self.spatial_dims)
+        h = conv(self.features, 2, strides=2, use_bias=use_bias,
+                 kernel_init=self.kernel_init, name="conv")(x)
+        h = norm()(h)
+        return PReLU(self.features)(h)
+
+
+class _UpConv(nn.Module):
+    features: int  # output width of the transpose conv (out_channels // 2)
+    norm_type: str
+    spatial_dims: int
+    is_separable: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        norm = get_norm_layer(self.norm_type)
+        use_bias = is_bias_before_norm(self.norm_type)
+        convt = _convt(self.is_separable, self.spatial_dims)
+        h = convt(self.features, 2, strides=2, use_bias=use_bias,
+                  kernel_init=self.kernel_init, name="convt")(x)
+        h = norm()(h)
+        return PReLU(self.features)(h)
+
+
+class DownBlock(nn.Module):
+    in_channels: int
+    n_conv_blocks: int
+    norm_type: str
+    spatial_dims: int
+    use_memory_saving: bool
+    use_inverse: bool
+    is_separable: bool
+    kernel_init: Callable
+
+    def setup(self):
+        out = 2 * self.in_channels
+        args = (self.norm_type, self.spatial_dims, self.is_separable, self.kernel_init)
+        self.down_conv_ab = _DownConv(out, *args)
+        if self.use_inverse:
+            self.down_conv_ba = _DownConv(out, *args)
+        self.core = InvertibleSequence(
+            channels=out, n_blocks=self.n_conv_blocks, norm_type=self.norm_type,
+            spatial_dims=self.spatial_dims, use_memory_saving=self.use_memory_saving,
+            kernel_init=self.kernel_init,
+            block_template=VnetInvBlock(out // 2, *args))
+        self.relu = PReLU(out)
+
+    def __call__(self, x, inverse: bool = False):
+        if self.is_initializing() and self.use_inverse:
+            self.down_conv_ba(x)
+        down_conv = self.down_conv_ba if inverse else self.down_conv_ab
+        down = down_conv(x)
+        out = self.core(down, inverse=inverse)
+        return self.relu(out + down)
+
+
+class UpBlock(nn.Module):
+    in_channels: int
+    out_channels: int
+    n_conv_blocks: int
+    norm_type: str
+    spatial_dims: int
+    use_memory_saving: bool
+    use_inverse: bool
+    is_separable: bool
+    kernel_init: Callable
+
+    def setup(self):
+        args = (self.norm_type, self.spatial_dims, self.is_separable, self.kernel_init)
+        self.up_conv_ab = _UpConv(self.out_channels // 2, *args)
+        if self.use_inverse:
+            self.up_conv_ba = _UpConv(self.out_channels // 2, *args)
+        self.core = InvertibleSequence(
+            channels=self.out_channels, n_blocks=self.n_conv_blocks,
+            norm_type=self.norm_type, spatial_dims=self.spatial_dims,
+            use_memory_saving=self.use_memory_saving, kernel_init=self.kernel_init,
+            block_template=VnetInvBlock(self.out_channels // 2, *args))
+        self.relu = PReLU(self.out_channels)
+
+    def __call__(self, x, skipx, inverse: bool = False):
+        if self.is_initializing() and self.use_inverse:
+            self.up_conv_ba(x)
+        up_conv = self.up_conv_ba if inverse else self.up_conv_ab
+        up = up_conv(x)
+        xcat = jnp.concatenate([up, skipx], axis=-1)
+        out = self.core(xcat, inverse=inverse)
+        return self.relu(out + xcat)
+
+
+class OutBlock(nn.Module):
+    in_channels: int
+    out_channels: int
+    norm_type: str
+    spatial_dims: int
+    is_separable: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        norm = get_norm_layer(self.norm_type)
+        use_bias = is_bias_before_norm(self.norm_type)
+        conv = _conv(self.is_separable, self.spatial_dims)
+        h = conv(self.in_channels, 5, padding=2, use_bias=use_bias,
+                 kernel_init=self.kernel_init, name="conv1")(x)
+        h = PReLU(self.in_channels)(norm()(h))
+        h = conv(self.out_channels, 1, kernel_init=self.kernel_init, name="conv2")(h)
+        return jnp.tanh(h)
+
+
+class VnetGenerator(nn.Module):
+    in_channels: int
+    out_channels: int
+    norm_type: str = "instance"
+    first_layer_channels: int = 16
+    down_blocks: Tuple[int, ...] = (1, 2, 3, 2)
+    up_blocks: Tuple[int, ...] = (2, 2, 1, 1)
+    use_memory_saving: bool = True
+    use_inverse: bool = True
+    is_separable: bool = False
+    # Per-down-level SAGAN attention (SelfAttentionVnet3D when any True).
+    enable_attention_block: Optional[Tuple[bool, ...]] = None
+    spatial_dims: int = 3
+    weight_init_type: str = "normal"
+    weight_init_gain: float = 0.02
+
+    def setup(self):
+        if self.first_layer_channels % self.in_channels:
+            raise ValueError("`first_layer_channels` has to be divisible by `in_channels`.")
+        if len(self.down_blocks) != len(self.up_blocks):
+            raise ValueError("Number of `down_blocks` and `up_blocks` has to be equal.")
+
+        init = make_initializer(self.weight_init_type, self.weight_init_gain)
+        flc = self.first_layer_channels
+        args = (self.norm_type, self.spatial_dims, self.is_separable, init)
+
+        self.in_ab = InputBlock(self.in_channels, flc, *args)
+        self.out_ab = OutBlock(flc * 2, self.out_channels, *args)
+        if self.use_inverse:
+            self.in_ba = InputBlock(self.in_channels, flc, *args)
+            self.out_ba = OutBlock(flc * 2, self.out_channels, *args)
+
+        downs, attns, factors = [], [], []
+        for i, num_convs in enumerate(self.down_blocks):
+            factor = 2 ** i
+            downs.append(DownBlock(flc * factor, num_convs, self.norm_type,
+                                   self.spatial_dims, self.use_memory_saving,
+                                   self.use_inverse, self.is_separable, init))
+            if self.enable_attention_block and self.enable_attention_block[i]:
+                attns.append(SelfAttentionBlock(flc * factor * 2, kernel_init=init))
+            else:
+                attns.append(None)
+            factors.append(factor)
+        self.downs = downs
+        self.attns = attns
+
+        up_factors = [f * 2 for f in reversed(factors)]
+        ups = [UpBlock(flc * up_factors[0], flc * up_factors[0],
+                       self.up_blocks[0], self.norm_type, self.spatial_dims,
+                       self.use_memory_saving, self.use_inverse,
+                       self.is_separable, init)]
+        for i, num_convs in enumerate(self.up_blocks[1:]):
+            ups.append(UpBlock(flc * up_factors[i], flc * up_factors[i + 1],
+                               num_convs, self.norm_type, self.spatial_dims,
+                               self.use_memory_saving, self.use_inverse,
+                               self.is_separable, init))
+        self.ups = ups
+
+    @property
+    def num_feature_levels(self):
+        return 1 + len(self.down_blocks)
+
+    def __call__(self, x, inverse: bool = False,
+                 extract_features: Optional[Sequence[int]] = None):
+        if inverse and not self.use_inverse:
+            raise ValueError(
+                "Trying to perform inverse forward while `use_inverse` flag is turned off.")
+
+        if self.is_initializing() and self.use_inverse:
+            self.out_ba(
+                jnp.zeros((*x.shape[:-1], self.first_layer_channels * 2), x.dtype))
+            self.in_ba(x)
+
+        in_block = self.in_ba if inverse else self.in_ab
+        out_block = self.out_ba if inverse else self.out_ab
+
+        # Input block output doubles as the last skip connection.
+        out1 = in_block(x)
+        features = [out1]
+
+        down_outs = []
+        h = out1
+        for down, attn in zip(self.downs, self.attns):
+            h = down(h, inverse=inverse)
+            if attn is not None:
+                h = attn(h)
+            down_outs.append(h)
+            features.append(h)
+
+        if extract_features is not None:
+            return [features[i] for i in extract_features]
+
+        down_outs_reversed = list(reversed(down_outs))
+        out = down_outs_reversed[0]
+        for i, up in enumerate(self.ups):
+            skip = out1 if i == len(self.ups) - 1 else down_outs_reversed[i + 1]
+            out = up(out, skip, inverse=inverse)
+
+        return out_block(out)

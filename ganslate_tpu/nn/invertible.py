@@ -19,7 +19,7 @@ stacked on a leading axis so XLA compiles one block body.
 """
 
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,11 +125,15 @@ class InvertibleSequence(nn.Module):
     spatial_dims: int = 3
     use_memory_saving: bool = True
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+    # Custom half-width residual module (e.g. V-Net's conv5+norm+PReLU);
+    # defaults to the Piresnet block.
+    block_template: Optional[nn.Module] = None
 
     def setup(self):
         half = self.channels // 2
-        self.block = InvResidualBlock(half, self.norm_type, self.pad_mode,
-                                      self.spatial_dims, self.kernel_init)
+        self.block = self.block_template if self.block_template is not None \
+            else InvResidualBlock(half, self.norm_type, self.pad_mode,
+                                  self.spatial_dims, self.kernel_init)
         dummy = jnp.zeros((1, *(8,) * self.spatial_dims, half), jnp.float32)
 
         def init_stack(rng):

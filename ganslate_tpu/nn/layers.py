@@ -217,11 +217,14 @@ def leaky_relu(x: Array, negative_slope: float = 0.2) -> Array:
 
 
 class PReLU(nn.Module):
-    """Channel-shared PReLU (torch nn.PReLU default: one learned slope)."""
+    """PReLU with per-channel learned slopes (torch nn.PReLU(num_channels))
+    or a single shared slope when `features` is None."""
+    features: Optional[int] = None
     init_slope: float = 0.25
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        slope = self.param("slope", nn.initializers.constant(self.init_slope), (1,),
-                           jnp.float32)
+        shape = (self.features,) if self.features else (1,)
+        slope = self.param("slope", nn.initializers.constant(self.init_slope),
+                           shape, jnp.float32)
         return jnp.where(x >= 0, x, x * slope.astype(x.dtype))
