@@ -60,7 +60,14 @@ def import_project_as_module(project_dir):
     project_path = Path(project_dir).resolve() / "__init__.py"
     assert project_path.is_file(), f"No `__init__.py` in project `{project_path}`."
 
-    spec = importlib.util.spec_from_file_location("project", str(project_path))
+    # Purge any previously-loaded project (and its submodules) so different
+    # projects can be loaded in one process without stale module collisions.
+    for name in [m for m in sys.modules if m == "project" or m.startswith("project.")]:
+        del sys.modules[name]
+
+    spec = importlib.util.spec_from_file_location(
+        "project", str(project_path),
+        submodule_search_locations=[str(project_path.parent)])
     project_module = importlib.util.module_from_spec(spec)
     sys.modules["project"] = project_module
     spec.loader.exec_module(project_module)

@@ -115,6 +115,17 @@ class CUT(BaseGAN):
     def init_networks(self):
         super().init_networks()
         if self.is_train:
+            # Drop NCE layer indices beyond the generator's tap count (the
+            # reference silently truncated these through a zip; we warn).
+            max_levels = getattr(self.networks["G"], "num_feature_levels", None)
+            if max_levels is not None:
+                valid = tuple(l for l in self.nce_layers if l < max_levels)
+                if valid != self.nce_layers:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        f"nce_layers {self.nce_layers} exceed the generator's "
+                        f"{max_levels} feature taps; using {valid}.")
+                    self.nce_layers = valid
             channels = self._probe_network_channels()
             self._nce_feat_channels = channels
             self.networks["mlp"] = FeaturePatchMLP(
