@@ -111,6 +111,18 @@ class MultiModalitySplitConfig:
 
 
 @dataclass
+class ProfilerConfig:
+    """Capture a device trace (view with TensorBoard / Perfetto) over a span
+    of training iterations. TPU-native addition (the reference has only
+    wall-clock timers; SURVEY.md 5.1)."""
+    # Trace iterations [start_iter, end_iter).
+    start_iter: int = 10
+    end_iter: int = 15
+    # Defaults to <output_dir>/profile when null.
+    output_dir: Optional[str] = None
+
+
+@dataclass
 class LoggingConfig:
     # How often (in iters) to log during training.
     freq: int = 50
@@ -119,6 +131,8 @@ class LoggingConfig:
     wandb: Optional[WandbConfig] = None
     # Optional intensity window (min, max) applied to logged images.
     image_window: Optional[Tuple[float, float]] = None
+    # Optional JAX device profiler over a training-iteration span.
+    profiler: Optional[ProfilerConfig] = None
 
 
 # --------------------------------------------------------------------- engines

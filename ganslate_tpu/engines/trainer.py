@@ -61,11 +61,16 @@ class Trainer(BaseEngine):
         yield from self._data_iter
 
     def run(self):
+        from ganslate_tpu.utils.summary import gan_summary
+        self.logger.info(gan_summary(self.model))
         self.logger.info("Training started.")
+
+        self._install_preemption_handler()
 
         self.tracker.start_dataloading_timer()
         for i, data in zip(self.iters, self._batches()):
             self._set_iter_idx(i)
+            self._profiler_step()
             self.tracker.start_computation_timer()
             self.tracker.end_dataloading_timer()
 
@@ -80,11 +85,61 @@ class Trainer(BaseEngine):
 
             self._run_validation()
 
+            if self._preempted:
+                self.logger.warning(
+                    f"Preemption signal received; saving checkpoint at iteration "
+                    f"{self.iter_idx} and stopping.")
+                self.model.save_checkpoint(self.iter_idx)
+                break
+
             self.tracker.start_dataloading_timer()
 
+        self._profiler_stop()
         self.tracker.close()
         if self.validator:
             self.validator.tracker.close()
+
+    # ---------------------------------------------------- preemption safety
+
+    def _install_preemption_handler(self):
+        """Checkpoint-on-preemption: TPU pods are preemptible; SIGTERM sets a
+        flag and the loop saves + exits at the next iteration boundary
+        (the reference left this as 'TODO: save on cancel')."""
+        import signal
+        self._preempted = False
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            # Not in the main thread (e.g. tests); skip installation.
+            pass
+
+    # ------------------------------------------------------------ profiling
+
+    def _profiler_step(self):
+        profiler_conf = self.conf.train.logging.profiler
+        if not profiler_conf:
+            return
+        import jax
+        if self.iter_idx == self.iters.start + profiler_conf.start_iter:
+            out_dir = profiler_conf.output_dir or str(
+                self.output_dir / "profile")
+            self.logger.info(f"Starting device trace -> {out_dir}")
+            jax.profiler.start_trace(out_dir)
+            self._profiling = True
+        elif getattr(self, "_profiling", False) and \
+                self.iter_idx == self.iters.start + profiler_conf.end_iter:
+            self._profiler_stop()
+
+    def _profiler_stop(self):
+        if getattr(self, "_profiling", False):
+            import jax
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.logger.info("Device trace stopped.")
 
     def _run_iteration(self, data):
         self.model.set_input(data)
