@@ -24,7 +24,7 @@ def main():
     from ganslate_tpu.utils.builders import build_gan
     from ganslate_tpu.utils.testing import make_cyclegan_conf
 
-    batch_size = 8
+    batch_size = 16  # best measured throughput on v5e (batch sweep 8/16/32)
     image_size = 256
     warmup, iters = 3, 20
 

@@ -13,7 +13,7 @@ from typing import Sequence, Tuple
 
 from flax import linen as nn
 
-from ganslate_tpu.nn.layers import (Conv, get_norm_layer, is_bias_before_norm,
+from ganslate_tpu.nn.layers import (Conv, NormAct, is_bias_before_norm,
                                     leaky_relu, make_initializer)
 
 
@@ -29,7 +29,6 @@ class PatchGAN(nn.Module):
     @nn.compact
     def __call__(self, x):
         init = make_initializer(self.weight_init_type, self.weight_init_gain)
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
         kw = tuple(self.kernel_size)
         padw = 1
@@ -42,13 +41,11 @@ class PatchGAN(nn.Module):
             nf_mult = min(2 ** n, 8)
             h = Conv(self.ndf * nf_mult, kw, strides=2, padding=padw, use_bias=use_bias,
                      kernel_init=init, name=f"down{n}")(h)
-            h = norm()(h)
-            h = leaky_relu(h)
+            h = NormAct(self.norm_type, "leaky_relu")(h)
 
         nf_mult = min(2 ** self.n_layers, 8)
         h = Conv(self.ndf * nf_mult, kw, strides=1, padding=padw, use_bias=use_bias,
                  kernel_init=init, name="penultimate")(h)
-        h = norm()(h)
-        h = leaky_relu(h)
+        h = NormAct(self.norm_type, "leaky_relu")(h)
 
         return Conv(1, kw, strides=1, padding=padw, kernel_init=init, name="head")(h)

@@ -18,9 +18,9 @@ from typing import Optional, Sequence
 import jax
 from flax import linen as nn
 
-from ganslate_tpu.nn.layers import (Conv, ConvTranspose, get_norm_layer,
-                                    is_bias_before_norm, make_initializer,
-                                    pad_spatial)
+from ganslate_tpu.nn.layers import (Conv, ConvTranspose, NormAct,
+                                    get_norm_layer, is_bias_before_norm,
+                                    make_initializer, pad_spatial)
 
 
 class ResidualBlock(nn.Module):
@@ -32,16 +32,14 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
         k = (3,) * self.spatial_dims
         h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
                  kernel_init=self.kernel_init, name="conv1")(x)
-        h = norm()(h)
-        h = nn.relu(h)
+        h = NormAct(self.norm_type, "relu")(h)
         h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
                  kernel_init=self.kernel_init, name="conv2")(h)
-        h = norm()(h)
+        h = NormAct(self.norm_type)(h)
         return x + h
 
 
@@ -110,13 +108,12 @@ class ResnetGenerator(nn.Module):
         if extract_features is not None:
             return [features[i] for i in extract_features]
 
-        # Two stride-2 upsampling transposed convs.
+        # Two stride-2 upsampling transposed convs (norm+relu fused).
         for i in range(2):
             feats //= 2
             h = ConvTranspose(feats, k3, strides=2, padding=1, output_padding=1,
                               kernel_init=init, name=f"up{i}")(h)
-            h = norm()(h)
-            h = nn.relu(h)
+            h = NormAct(self.norm_type, "relu")(h)
 
         # Output c7s1-out + tanh.
         h = Conv(self.out_channels, k7, padding=3, pad_mode=self.pad_mode,

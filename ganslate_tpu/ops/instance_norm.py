@@ -1,0 +1,143 @@
+"""Fused InstanceNorm(+activation) Pallas kernel.
+
+Instance norm dominates the memory traffic of every generator in the zoo
+(2 reads + 1 write per tensor in XLA's two-pass form, plus another pass for
+the following activation). This kernel does stats + normalize + activation in
+ONE pass over VMEM-resident data: one HBM read, one HBM write per sample.
+
+Forward = Pallas (grid over (batch,) with the whole (spatial, C) slab of one
+sample in VMEM); backward = standard instance-norm VJP in XLA from saved
+(mean, rstd) — cheap relative to forward and fuses with surrounding ops.
+
+Falls back to a pure-XLA implementation when the slab exceeds the VMEM
+budget or when not running on TPU (CPU tests, interpret overhead).
+"""
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Conservative per-slab VMEM budget (bytes); leave room for f32 temps.
+_VMEM_BUDGET = 4 * 1024 * 1024
+
+_ACTIVATIONS = ("none", "relu", "leaky_relu")
+
+
+def _act(y, activation: str, negative_slope: float):
+    if activation == "relu":
+        return jnp.maximum(y, 0)
+    if activation == "leaky_relu":
+        return jnp.where(y >= 0, y, y * negative_slope)
+    return y
+
+
+def _act_grad(y, activation: str, negative_slope: float):
+    """d act(y) / dy as a function of the PRE-activation y."""
+    if activation == "relu":
+        return (y > 0).astype(jnp.float32)
+    if activation == "leaky_relu":
+        return jnp.where(y >= 0, 1.0, negative_slope).astype(jnp.float32)
+    return jnp.ones_like(y, dtype=jnp.float32)
+
+
+def _xla_forward(x, eps, activation, negative_slope):
+    axes = tuple(range(1, x.ndim - 1))
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (x32 - mean) * rstd
+    out = _act(y, activation, negative_slope).astype(x.dtype)
+    return out, mean.reshape(x.shape[0], x.shape[-1]), rstd.reshape(x.shape[0], x.shape[-1])
+
+
+def _pallas_forward(x, eps, activation, negative_slope):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    c = x.shape[-1]
+    s = int(np.prod(x.shape[1:-1]))
+    x2d = x.reshape(n, s, c)
+
+    def kernel(x_ref, o_ref, mean_ref, rstd_ref):
+        xv = x_ref[0].astype(jnp.float32)                 # (S, C)
+        mean = jnp.mean(xv, axis=0, keepdims=True)        # (1, C)
+        var = jnp.mean(jnp.square(xv - mean), axis=0, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        y = (xv - mean) * rstd
+        o_ref[0] = _act(y, activation, negative_slope).astype(o_ref.dtype)
+        mean_ref[0, 0] = mean[0]
+        rstd_ref[0, 0] = rstd[0]
+
+    out, mean, rstd = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, s, c), x.dtype),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        ),
+    )(x2d)
+    return out.reshape(x.shape), mean.reshape(n, c), rstd.reshape(n, c)
+
+
+def _use_pallas(x) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    s = int(np.prod(x.shape[1:-1]))
+    c = x.shape[-1]
+    slab_bytes = s * c * (4 + x.dtype.itemsize)  # f32 temp + io
+    return slab_bytes <= _VMEM_BUDGET and s >= 8 and c >= 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def instance_norm(x, eps: float = 1e-5, activation: str = "none",
+                  negative_slope: float = 0.2):
+    """Fused instance norm + optional activation over (N, *spatial, C)."""
+    out, _, _ = _forward(x, eps, activation, negative_slope)
+    return out
+
+
+def _forward(x, eps, activation, negative_slope):
+    assert activation in _ACTIVATIONS, activation
+    if _use_pallas(x):
+        return _pallas_forward(x, eps, activation, negative_slope)
+    return _xla_forward(x, eps, activation, negative_slope)
+
+
+def _fwd(x, eps, activation, negative_slope):
+    out, mean, rstd = _forward(x, eps, activation, negative_slope)
+    return out, (x, mean, rstd)
+
+
+def _bwd(eps, activation, negative_slope, residuals, g):
+    x, mean, rstd = residuals
+    axes = tuple(range(1, x.ndim - 1))
+    stat_shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    mean = mean.reshape(stat_shape)
+    rstd = rstd.reshape(stat_shape)
+
+    x32 = x.astype(jnp.float32)
+    y = (x32 - mean) * rstd                       # pre-activation output
+    gy = g.astype(jnp.float32) * _act_grad(y, activation, negative_slope)
+
+    m = float(np.prod([x.shape[a] for a in axes]))
+    mean_gy = jnp.mean(gy, axis=axes, keepdims=True)
+    mean_gy_y = jnp.mean(gy * y, axis=axes, keepdims=True)
+    dx = rstd * (gy - mean_gy - y * mean_gy_y)
+    return (dx.astype(x.dtype),)
+
+
+instance_norm.defvjp(_fwd, _bwd)
