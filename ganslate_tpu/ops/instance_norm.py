@@ -24,6 +24,9 @@ import jax.numpy as jnp
 # Conservative per-slab VMEM budget (bytes); leave room for f32 temps.
 _VMEM_BUDGET = 4 * 1024 * 1024
 
+# Test hook: run the Pallas kernel in interpreter mode (CPU).
+_INTERPRET = False
+
 _ACTIVATIONS = ("none", "relu", "leaky_relu")
 
 
@@ -89,6 +92,7 @@ def _pallas_forward(x, eps, activation, negative_slope):
             jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
             jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
         ),
+        interpret=_INTERPRET,
     )(x2d)
     return out.reshape(x.shape), mean.reshape(n, c), rstd.reshape(n, c)
 
