@@ -193,23 +193,28 @@ class NormAct(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """Batch norm with running stats, torch-default hyperparams.
+    """Affine batch normalization over (batch, *spatial) per channel.
 
-    Running stats live in the `batch_stats` collection; GAN train states carry
-    them alongside params when a model opts into norm_type='batch'.
+    Equivalent to torch BatchNorm with track_running_stats=False: batch
+    statistics are used at train AND eval time, which keeps every train step
+    a pure function of (params, batch) — no mutable state collection to
+    thread through the GAN algorithms. (The reference GANs default to
+    instance norm; 'batch' is an optional setting, configs/base.py:54.)
     """
-    use_running_average: bool = False
-    momentum: float = 0.9  # flax momentum = 1 - torch momentum (0.1)
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            name="bn",
-        )(x)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
+                          jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 def get_norm_layer(norm_type: str = "instance"):
