@@ -34,10 +34,12 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
         values = [s[key] for s in samples]
         if isinstance(first[key], dict):
             out[key] = collate(values)
+        elif isinstance(first[key], (str, bytes)):
+            out[key] = values  # strings stay lists (metadata)
         elif isinstance(first[key], np.ndarray) or np.isscalar(first[key]):
             out[key] = np.stack([np.asarray(v) for v in values])
         else:
-            out[key] = values  # metadata passthrough (paths, strings, ...)
+            out[key] = values  # metadata passthrough (paths, tuples, ...)
     return out
 
 

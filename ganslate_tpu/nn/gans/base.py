@@ -124,7 +124,13 @@ class BaseGAN(ABC):
         hyperparams injected so the live LR is inspectable for logging."""
         from ganslate_tpu.nn.utils import make_lr_schedule
         tr = self.conf.train
+        # The optax count is absolute when optimizer state is restored from a
+        # checkpoint; the load_iter offset is only needed for a fresh
+        # optimizer (reference parity: nn/utils.py:91-97, where LambdaLR
+        # always restarts at 0 and is offset explicitly).
         load_iter = tr.checkpointing.load_iter or 0
+        if load_iter and tr.checkpointing.load_optimizers:
+            load_iter = 0
         schedule = make_lr_schedule(lr, tr.n_iters, tr.n_iters_decay, load_iter)
         opt = optax.inject_hyperparams(optax.adam)(
             learning_rate=schedule,
