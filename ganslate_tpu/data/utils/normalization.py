@@ -7,6 +7,23 @@ with precomputed stats (e.g. normalizing a slice with its volume's stats).
 
 import numpy as np
 
+# Volumes past this size route through the multithreaded C++ kernels
+# (ganslate_tpu.native); below it numpy's one-shot cost is fine.
+_NATIVE_THRESHOLD = 1 << 20
+
+
+def clip_and_min_max_normalize(image, min_value, max_value):
+    """clip to [min, max] then scale to [-1, 1] — the medical-volume hot
+    loop; multithreaded native kernel for large arrays."""
+    image = np.asarray(image, dtype=np.float32)
+    if image.size >= _NATIVE_THRESHOLD:
+        from ganslate_tpu import native
+        if native.available():
+            return native.clip_minmax_normalize(image, float(min_value),
+                                                float(max_value))
+    return min_max_normalize(np.clip(image, min_value, max_value),
+                             min_value, max_value)
+
 
 def min_max_normalize(image, min_value, max_value):
     """Scale to [-1, 1] given an intensity range."""
@@ -24,6 +41,10 @@ def min_max_denormalize(image, min_value, max_value):
 def z_score_normalize(tensor, scale_to_range=None):
     """Z-score normalize; optionally scale the result to a range."""
     tensor = np.asarray(tensor, dtype=np.float32)
+    if tensor.size >= _NATIVE_THRESHOLD:
+        from ganslate_tpu import native
+        if native.available():
+            return native.z_score_normalize(tensor, scale_to_range)
     mean = tensor.mean()
     std = tensor.std()
     tensor = (tensor - mean) / std

@@ -53,8 +53,9 @@ def resize(image: np.ndarray, load_size_wh) -> np.ndarray:
 
 
 def clip_and_min_max_normalize(array, min_value, max_value):
-    return min_max_normalize(np.clip(array, min_value, max_value),
-                             min_value, max_value)
+    from ganslate_tpu.data.utils.normalization import clip_and_min_max_normalize \
+        as clip_norm
+    return clip_norm(array, min_value, max_value)
 
 
 class ClearGraspTrainDataset:

@@ -17,7 +17,9 @@ HU_THRESHOLD = -300
 
 def apply_body_mask(image_dict, generate_body_mask=False):
     """Mask every CT/PET in the dict with the body mask (generated from a CT
-    by thresholding when missing)."""
+    by thresholding when missing). Uses the native masked-fill kernel."""
+    from ganslate_tpu import native
+
     if generate_body_mask:
         assert image_dict['body-mask'] is None
         assert any('CT' in k for k in image_dict)
@@ -28,15 +30,18 @@ def apply_body_mask(image_dict, generate_body_mask=False):
     body_mask = image_dict['body-mask']
     for k in image_dict:
         if 'PET' in k:
-            image_dict[k] = np.where(body_mask, image_dict[k], OUT_OF_BODY_SUV)
+            image_dict[k] = native.masked_fill(image_dict[k], body_mask,
+                                               OUT_OF_BODY_SUV)
         elif 'CT' in k:
-            image_dict[k] = np.where(body_mask, image_dict[k], OUT_OF_BODY_HU)
+            image_dict[k] = native.masked_fill(image_dict[k], body_mask,
+                                               OUT_OF_BODY_HU)
     return image_dict
 
 
 def clip_and_min_max_normalize(array, min_value, max_value):
-    array = np.clip(array, min_value, max_value)
-    return min_max_normalize(array, min_value, max_value)
+    from ganslate_tpu.data.utils.normalization import clip_and_min_max_normalize \
+        as clip_norm
+    return clip_norm(array, min_value, max_value)
 
 
 def sitk2np(image_dict):
