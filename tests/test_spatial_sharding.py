@@ -1,0 +1,92 @@
+"""Halo-exchange spatial sharding tests on the 8-device mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ganslate_tpu.parallel import get_mesh
+from ganslate_tpu.parallel.spatial import (halo_exchange, sharded_conv,
+                                           spatially_sharded_infer)
+
+
+def test_halo_exchange_matches_gather():
+    mesh = get_mesh()
+    n = mesh.devices.size
+    x = jnp.arange(n * 4 * 3, dtype=jnp.float32).reshape(n * 4, 3)
+
+    def worker(x_local):
+        return halo_exchange(x_local, 2, "data", 0)
+
+    out = shard_map(worker, mesh=mesh, in_specs=P("data", None),
+                    out_specs=P("data", None), check_rep=False)(x)
+    # Each local shard is 4 rows -> with halo 2 each side -> 8 rows; the
+    # sharded output dim is n*8. Check shard 1: rows 2..4 of global before,
+    # its own 4..8, then 8..10.
+    out = np.asarray(out).reshape(n, 8, 3)
+    xg = np.asarray(x)
+    np.testing.assert_array_equal(out[1, :2], xg[2:4])
+    np.testing.assert_array_equal(out[1, 2:6], xg[4:8])
+    np.testing.assert_array_equal(out[1, 6:], xg[8:10])
+    # Global boundaries are zero-padded.
+    np.testing.assert_array_equal(out[0, :2], np.zeros((2, 3)))
+    np.testing.assert_array_equal(out[-1, 6:], np.zeros((2, 3)))
+
+
+def test_sharded_conv_exact():
+    mesh = get_mesh()
+    n = mesh.devices.size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, n * 4, 16, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 5, 3, 7)).astype(np.float32))
+
+    # Reference: plain SAME conv.
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME",
+                                        dimension_numbers=dn)
+
+    def worker(x_local):
+        return sharded_conv(x_local, kernel, "data", dim=1)
+
+    got = shard_map(worker, mesh=mesh, in_specs=P(None, "data", None, None),
+                    out_specs=P(None, "data", None, None), check_rep=False)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_spatially_sharded_infer_conv_stack():
+    """A 2-layer conv net sharded over depth with a sufficient halo matches
+    the unsharded computation exactly."""
+    mesh = get_mesh()
+    n = mesh.devices.size
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, n * 2, 8, 8, 2)).astype(np.float32))
+    k1 = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 4)).astype(np.float32) * 0.2)
+    k2 = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 2)).astype(np.float32) * 0.2)
+
+    def net(params, v):
+        dn = jax.lax.conv_dimension_numbers(v.shape, params["k1"].shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        h = jax.lax.conv_general_dilated(v, params["k1"], (1, 1, 1), "SAME",
+                                         dimension_numbers=dn)
+        h = jnp.tanh(h)
+        dn = jax.lax.conv_dimension_numbers(h.shape, params["k2"].shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(h, params["k2"], (1, 1, 1), "SAME",
+                                            dimension_numbers=dn)
+
+    params = {"k1": k1, "k2": k2}
+    # Defined semantic: equals the net on a halo-zero-padded volume, cropped.
+    halo = 2  # receptive-field half-width of two k3 convs
+    x_pad = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0), (0, 0)))
+    want = net(params, x_pad)[:, halo:-halo]
+    got = spatially_sharded_infer(net, params, x, mesh, halo=halo, dim=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # And interior shard boundaries match the UNPADDED global computation.
+    want_plain = np.asarray(net(params, x))
+    got_np = np.asarray(got)
+    np.testing.assert_allclose(got_np[:, halo:-halo], want_plain[:, halo:-halo],
+                               atol=1e-4)
