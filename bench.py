@@ -1,15 +1,24 @@
-"""Benchmark: CycleGAN-256 training throughput (images/sec/chip).
+"""Benchmarks for the two north-star metrics (BASELINE.md):
 
-The reference publishes no numbers (BASELINE.md); the driver's north star is
-">= 2x A100 images/sec/chip" for CycleGAN-256 (horse2zebra config: Resnet2D
-9 blocks + 70x70 PatchGAN, LSGAN). We take 15 images/sec as a generous
-estimate of the reference's eager PyTorch pipeline on A100 (its iteration is
-6 G + 4 D conv forwards + 2 backwards dispatched op-by-op from Python,
+1. CycleGAN-256 training throughput, images/sec/chip (horse2zebra config:
+   Resnet2D 9 blocks + 70x70 PatchGAN, LSGAN) — the REAL fused train step
+   (G+D updates, pools, metrics) in bf16 on synthetic data.
+2. 3D sliding-window inference, vols/sec (BRaTS config: Vnet3D
+   down=(2,2,3)/up=(3,3,3), window (32,176,176) = training patch size,
+   overlap 0.25, gaussian blending, full (155,240,240) volume —
+   /root/reference/projects/brats_mri_sequence_translation/experiments/
+   cyclegan.yaml).
+
+The reference publishes no numbers; the driver's baseline for (1) is
+">= 2x A100 images/sec/chip". We take 15 images/sec as a generous estimate
+of the reference's eager PyTorch pipeline on A100 (its iteration is 6 G +
+4 D conv forwards + 2 backwards dispatched op-by-op from Python,
 /root/reference/ganslate/nn/gans/unpaired/cyclegan.py:92-214), so
 vs_baseline = images_per_sec / 30.0 means 1.0 == the 2x-A100 target.
+An absolute calibration is also printed: MFU from XLA's own FLOP count
+(compiled cost analysis) against v5e bf16 peak (197 TFLOP/s/chip).
 
-Runs the REAL fused train step (G+D updates, pools, metrics) in bf16 on
-synthetic data — pure device throughput, no IO.
+Prints ONE JSON line; secondary metrics ride in "extra".
 """
 
 import json
@@ -17,8 +26,22 @@ import time
 
 import numpy as np
 
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
-def main():
+
+def _sync(model):
+    # Host read of a value that depends on the full step: the only reliable
+    # execution fence on relay-backed PJRT transports (block_until_ready can
+    # return early there).
+    return [float(jax_device_get(v)) for v in model.losses.values()]
+
+
+def jax_device_get(v):
+    import jax
+    return jax.device_get(v)
+
+
+def bench_cyclegan_train():
     import jax
 
     from ganslate_tpu.utils.builders import build_gan
@@ -41,29 +64,100 @@ def main():
     model.setup(example_batch=batch)
     model.set_input(batch)
 
-    def fence():
-        # Host read of a value that depends on the full step: the only
-        # reliable execution fence on relay-backed PJRT transports
-        # (block_until_ready can return early there).
-        return [float(jax.device_get(v)) for v in model.losses.values()]
-
     for _ in range(warmup):
         model.optimize_parameters()
-    fence()
+    _sync(model)
 
     start = time.perf_counter()
     for _ in range(iters):
         model.optimize_parameters()
-    fence()
+    _sync(model)
     elapsed = time.perf_counter() - start
 
     n_chips = jax.device_count()
     images_per_sec = batch_size * iters / elapsed / n_chips
+    step_seconds = elapsed / iters
+
+    # MFU: XLA's own FLOP count for the full fused step vs chip peak.
+    mfu = None
+    step_tflops = None
+    try:
+        lowered = jax.jit(model.make_train_step()).lower(model.state, model._batch)
+        cost = lowered.compile().cost_analysis()
+        if cost and cost.get("flops"):
+            step_tflops = float(cost["flops"]) / 1e12
+            mfu = float(cost["flops"]) / step_seconds / V5E_BF16_PEAK_FLOPS / n_chips
+    except Exception:
+        pass
+
+    return {
+        "images_per_sec_per_chip": round(images_per_sec, 2),
+        "step_seconds": round(step_seconds, 4),
+        "batch_size": batch_size,
+        "train_step_tflops": round(step_tflops, 2) if step_tflops else None,
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
+    }
+
+
+def bench_vnet3d_sliding_window():
+    """BRaTS-shaped full-volume inference: vols/sec on the current chip(s).
+    Uses the distributed window-grid path automatically when >1 device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganslate_tpu.nn.generators import Vnet3D
+    from ganslate_tpu.utils.sliding_window_inferer import SlidingWindowInferer
+
+    roi = (32, 176, 176)
+    volume_shape = (1, 155, 240, 240, 1)
+    repeats = 3
+
+    model = Vnet3D(in_channels=1, out_channels=1,
+                   down_blocks=(2, 2, 3), up_blocks=(3, 3, 3),
+                   use_memory_saving=False, use_inverse=False)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, *roi, 1), jnp.bfloat16))["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+    def network(p, x):
+        return model.apply({"params": p}, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=1,
+                                   overlap=0.25, mode="gaussian")
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.uniform(-1, 1, volume_shape).astype(np.float32))
+
+    out = inferer(vol, network, params)   # compile + warmup
+    float(jax_device_get(out.ravel()[0]))
+
+    start = time.perf_counter()
+    for _ in range(repeats):
+        out = inferer(vol, network, params)
+    float(jax_device_get(out.ravel()[0]))
+    elapsed = time.perf_counter() - start
+
+    vols_per_sec = repeats / elapsed
+    return {
+        "vnet3d_sliding_window_vols_per_sec": round(vols_per_sec, 3),
+        "volume_shape": list(volume_shape[1:-1]),
+        "window": list(roi),
+    }
+
+
+def main():
+    train = bench_cyclegan_train()
+    infer3d = bench_vnet3d_sliding_window()
     print(json.dumps({
         "metric": "cyclegan256_train_images_per_sec_per_chip",
-        "value": round(images_per_sec, 2),
+        "value": train["images_per_sec_per_chip"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / 30.0, 3),
+        "vs_baseline": round(train["images_per_sec_per_chip"] / 30.0, 3),
+        "extra": {
+            **{k: v for k, v in train.items() if k != "images_per_sec_per_chip"},
+            **infer3d,
+        },
     }))
 
 

@@ -31,6 +31,10 @@ class MultiScalePatchGAN3DConfig(configs.base.BaseDiscriminatorConfig):
 
 
 class MultiScalePatchGAN3D(nn.Module):
+    # Train steps read this to thread a fresh 'crop' key into every apply
+    # site (reference takes a new RandSpatialCrop per call).
+    stochastic_rngs = ("crop",)
+
     in_channels: int
     ndf: int = 64
     n_layers: int = 3

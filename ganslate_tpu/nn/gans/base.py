@@ -139,15 +139,31 @@ class BaseGAN(ABC):
         )
         return opt
 
-    def apply(self, name: str, params, x, **kwargs):
+    def apply(self, name: str, params, x, rng=None, **kwargs):
         """Run a network under the compute-dtype policy. `params` is the
-        param tree OF THAT NETWORK (not the full dict)."""
+        param tree OF THAT NETWORK (not the full dict).
+
+        `rng` enables the network's train-time stochasticity for THIS call
+        (train steps pass a distinct key per apply site; eval/infer pass
+        none): dropout for modules with `use_dropout` (reference applies it
+        in train mode, unet2d.py:112-121) and fresh random crops for modules
+        declaring `stochastic_rngs` (MultiScalePatchGAN3D's per-call
+        RandSpatialCrop, multiscale_patchgan3d.py:49-56)."""
         module = self.networks[name]
         if self.compute_dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
             x = x.astype(self.compute_dtype)
+        if rng is not None:
+            collections = []
+            if getattr(module, "use_dropout", False):
+                collections.append("dropout")
+                kwargs.setdefault("train", True)
+            collections.extend(getattr(module, "stochastic_rngs", ()))
+            if collections:
+                keys = jax.random.split(rng, len(collections))
+                kwargs["rngs"] = dict(zip(collections, keys))
         return module.apply({"params": params}, x, **kwargs)
 
     def group_params(self, params: Dict[str, Any], group: str) -> Dict[str, Any]:

@@ -74,10 +74,11 @@ class Pix2PixConditionalGAN(BaseGAN):
         training_metrics = self.training_metrics
         opt_G, opt_D = self.optimizers["G"], self.optimizers["D"]
 
-        def g_loss(params_G, params_D, real_A, real_B):
-            fake_B = apply("G", params_G["G"], real_A)
+        def g_loss(params_G, params_D, real_A, real_B, key):
+            k_g, k_d = jax.random.split(key)
+            fake_B = apply("G", params_G["G"], real_A, rng=k_g)
             pred = apply("D", params_D["D"],
-                         jnp.concatenate([real_A, fake_B], axis=-1))
+                         jnp.concatenate([real_A, fake_B], axis=-1), rng=k_d)
             losses = {
                 "G": criterion_adv(pred, target_is_real=True),
                 "pix2pix": criterion_pix2pix(fake_B, real_B),
@@ -86,29 +87,32 @@ class Pix2PixConditionalGAN(BaseGAN):
             return total, (losses, {"real_A": real_A, "fake_B": fake_B,
                                     "real_B": real_B})
 
-        def d_loss(params_D, real_A, real_B, fake_B):
+        def d_loss(params_D, real_A, real_B, fake_B, key):
+            k_real, k_fake = jax.random.split(key)
             pred_real = apply("D", params_D["D"],
-                              jnp.concatenate([real_A, real_B], axis=-1))
+                              jnp.concatenate([real_A, real_B], axis=-1),
+                              rng=k_real)
             pred_fake = apply("D", params_D["D"],
-                              jnp.concatenate([real_A, fake_B], axis=-1))
+                              jnp.concatenate([real_A, fake_B], axis=-1),
+                              rng=k_fake)
             loss = (criterion_adv(pred_real, True) + criterion_adv(pred_fake, False))
             return loss, (pred_real, pred_fake)
 
         def train_step(state: GANState, batch):
             real_A, real_B = batch["A"], batch["B"]
-            rng, _ = jax.random.split(state.rng)
+            rng, k_G, k_D = jax.random.split(state.rng, 3)
 
             params_G = self.group_params(state.params, "G")
             params_D = self.group_params(state.params, "D")
 
             (_, (losses_G, visuals)), grads_G = jax.value_and_grad(
-                g_loss, has_aux=True)(params_G, params_D, real_A, real_B)
+                g_loss, has_aux=True)(params_G, params_D, real_A, real_B, k_G)
             updates_G, opt_state_G = opt_G.update(grads_G, state.opt_state["G"], params_G)
             params_G = optax.apply_updates(params_G, updates_G)
 
             fake_B = jax.lax.stop_gradient(visuals["fake_B"])
             (loss_D, (pred_real, pred_fake)), grads_D = jax.value_and_grad(
-                d_loss, has_aux=True)(params_D, real_A, real_B, fake_B)
+                d_loss, has_aux=True)(params_D, real_A, real_B, fake_B, k_D)
             updates_D, opt_state_D = opt_D.update(grads_D, state.opt_state["D"], params_D)
             params_D = optax.apply_updates(params_D, updates_D)
 

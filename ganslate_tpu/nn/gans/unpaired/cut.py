@@ -195,8 +195,8 @@ class CUT(BaseGAN):
         opts = self.optimizers
         mlp_module = self.networks["mlp"]
 
-        def extract(params_G, x):
-            return apply("G", params_G, x, extract_features=nce_layers)
+        def extract(params_G, x, key=None):
+            return apply("G", params_G, x, rng=key, extract_features=nce_layers)
 
         def mlp_apply(params_mlp, feats):
             return mlp_module.apply({"params": params_mlp}, feats)
@@ -220,9 +220,10 @@ class CUT(BaseGAN):
                 out.append(sel.reshape(-1, sel.shape[-1]).astype(jnp.float32))
             return out
 
-        def nce_loss(params_G, params_mlp, source, target, patch_ids, flip):
-            source_feats = extract(params_G, source)
-            target_feats = extract(params_G, target)
+        def nce_loss(params_G, params_mlp, source, target, patch_ids, flip, key):
+            k_src, k_tgt = jax.random.split(key)
+            source_feats = extract(params_G, source, k_src)
+            target_feats = extract(params_G, target, k_tgt)
             if use_flip:
                 # Flip target features back (W axis) when inputs were flipped.
                 target_feats = [jnp.where(flip, f[..., ::-1, :], f)
@@ -235,31 +236,34 @@ class CUT(BaseGAN):
                 total = total + jnp.mean(criterion(tgt, src)) * lambda_nce
             return total / len(nce_layers)
 
-        def d_loss(params_D, real_B, fake_B):
-            pred_real = apply("D", params_D["D"], real_B)
-            pred_fake = apply("D", params_D["D"], fake_B)
+        def d_loss(params_D, real_B, fake_B, key):
+            k_real, k_fake = jax.random.split(key)
+            pred_real = apply("D", params_D["D"], real_B, rng=k_real)
+            pred_fake = apply("D", params_D["D"], fake_B, rng=k_fake)
             loss = criterion_adv(pred_real, True) + criterion_adv(pred_fake, False)
             return loss, (pred_real, pred_fake)
 
-        def g_mlp_loss(params, params_D, real_A, real_B, patch_ids, idt_ids, flip):
+        def g_mlp_loss(params, params_D, real_A, real_B, patch_ids, idt_ids,
+                       flip, key):
+            ks = jax.random.split(key, 5)
             params_G, params_mlp = params["G"], params["mlp"]
-            fake_B = apply("G", params_G, real_A)
-            idt_B = apply("G", params_G, real_B) if use_idt else None
+            fake_B = apply("G", params_G, real_A, rng=ks[0])
+            idt_B = apply("G", params_G, real_B, rng=ks[1]) if use_idt else None
 
             losses = {}
             total = jnp.float32(0)
             if lambda_adv > 0:
-                pred_fake = apply("D", params_D["D"], fake_B)
+                pred_fake = apply("D", params_D["D"], fake_B, rng=ks[2])
                 losses["G"] = criterion_adv(pred_fake, True) * lambda_adv
                 total = total + losses["G"]
 
             if lambda_nce > 0:
                 loss_nce = nce_loss(params_G, params_mlp, real_A, fake_B,
-                                    patch_ids, flip)
+                                    patch_ids, flip, ks[3])
                 losses["NCE"] = loss_nce
                 if use_idt:
                     loss_nce_idt = lambda_nce_idt * nce_loss(
-                        params_G, params_mlp, real_B, idt_B, idt_ids, flip)
+                        params_G, params_mlp, real_B, idt_B, idt_ids, flip, ks[4])
                     losses["NCE_idt"] = loss_nce_idt
                     loss_nce = (1 - lambda_nce_idt) * loss_nce + loss_nce_idt
                 total = total + loss_nce
@@ -271,7 +275,8 @@ class CUT(BaseGAN):
 
         def train_step(state: GANState, batch):
             real_A, real_B = batch["A"], batch["B"]
-            rng, k_flip, k_patch, k_idt = jax.random.split(state.rng, 4)
+            rng, k_flip, k_patch, k_idt, k_fake, k_D, k_G = \
+                jax.random.split(state.rng, 7)
 
             # FastCUT flip-equivariance: one bernoulli flips the whole batch.
             flip = jnp.zeros((), bool)
@@ -287,9 +292,9 @@ class CUT(BaseGAN):
 
             # ---- D update FIRST (reference order, cut.py:115-121).
             fake_B_detached = jax.lax.stop_gradient(
-                apply("G", params_G["G"], real_A))
+                apply("G", params_G["G"], real_A, rng=k_fake))
             (loss_D, (pred_real, pred_fake)), grads_D = jax.value_and_grad(
-                d_loss, has_aux=True)(params_D, real_B, fake_B_detached)
+                d_loss, has_aux=True)(params_D, real_B, fake_B_detached, k_D)
             updates_D, opt_state_D = opts["D"].update(grads_D, state.opt_state["D"],
                                                       params_D)
             params_D = optax.apply_updates(params_D, updates_D)
@@ -302,7 +307,7 @@ class CUT(BaseGAN):
             params_gm = {"G": params_G["G"], "mlp": params_mlp["mlp"]}
             (_, (losses_G, visuals)), grads = jax.value_and_grad(
                 g_mlp_loss, has_aux=True)(params_gm, params_D, real_A, real_B,
-                                          patch_ids, idt_ids, flip)
+                                          patch_ids, idt_ids, flip, k_G)
             updates_G, opt_state_G = opts["G"].update(
                 {"G": grads["G"]}, state.opt_state["G"], {"G": params_gm["G"]})
             new_G = optax.apply_updates({"G": params_gm["G"]}, updates_G)

@@ -80,20 +80,22 @@ class RevGAN(BaseGAN):
         training_metrics = self.training_metrics
         opt_G, opt_D = self.optimizers["G"], self.optimizers["D"]
 
-        def g_loss(params_G, params_D, real_A, real_B):
-            fake_B = apply("G", params_G["G"], real_A)
-            rec_A = apply("G", params_G["G"], fake_B, inverse=True)
-            fake_A = apply("G", params_G["G"], real_B, inverse=True)
-            rec_B = apply("G", params_G["G"], fake_A)
+        def g_loss(params_G, params_D, real_A, real_B, key):
+            ks = jax.random.split(key, 8)
+            fake_B = apply("G", params_G["G"], real_A, rng=ks[0])
+            rec_A = apply("G", params_G["G"], fake_B, rng=ks[1], inverse=True)
+            fake_A = apply("G", params_G["G"], real_B, rng=ks[2], inverse=True)
+            rec_B = apply("G", params_G["G"], fake_A, rng=ks[3])
 
             visuals = {"real_A": real_A, "fake_B": fake_B, "rec_A": rec_A,
                        "real_B": real_B, "fake_A": fake_A, "rec_B": rec_B}
             if use_identity:
-                visuals["idt_B"] = apply("G", params_G["G"], real_B)
-                visuals["idt_A"] = apply("G", params_G["G"], real_A, inverse=True)
+                visuals["idt_B"] = apply("G", params_G["G"], real_B, rng=ks[4])
+                visuals["idt_A"] = apply("G", params_G["G"], real_A, rng=ks[5],
+                                         inverse=True)
 
-            pred_B = apply("D_B", params_D["D_B"], fake_B)
-            pred_A = apply("D_A", params_D["D_A"], fake_A)
+            pred_B = apply("D_B", params_D["D_B"], fake_B, rng=ks[6])
+            pred_A = apply("D_A", params_D["D_A"], fake_A, rng=ks[7])
             losses = {
                 "G_AB": criterion_adv(pred_B, target_is_real=True),
                 "G_BA": criterion_adv(pred_A, target_is_real=True),
@@ -102,12 +104,13 @@ class RevGAN(BaseGAN):
             total = sum(jax.tree_util.tree_leaves(losses), jnp.float32(0))
             return total, (losses, visuals)
 
-        def d_loss(params_D, real_A, real_B, fake_A, fake_B):
+        def d_loss(params_D, real_A, real_B, fake_A, fake_B, key):
+            ks = jax.random.split(key, 4)
             preds = {
-                "real_B": apply("D_B", params_D["D_B"], real_B),
-                "fake_B": apply("D_B", params_D["D_B"], fake_B),
-                "real_A": apply("D_A", params_D["D_A"], real_A),
-                "fake_A": apply("D_A", params_D["D_A"], fake_A),
+                "real_B": apply("D_B", params_D["D_B"], real_B, rng=ks[0]),
+                "fake_B": apply("D_B", params_D["D_B"], fake_B, rng=ks[1]),
+                "real_A": apply("D_A", params_D["D_A"], real_A, rng=ks[2]),
+                "fake_A": apply("D_A", params_D["D_A"], fake_A, rng=ks[3]),
             }
             loss_D_B = (criterion_adv(preds["real_B"], True) +
                         criterion_adv(preds["fake_B"], False))
@@ -117,13 +120,13 @@ class RevGAN(BaseGAN):
 
         def train_step(state: GANState, batch):
             real_A, real_B = batch["A"], batch["B"]
-            rng, k_pool_B, k_pool_A = jax.random.split(state.rng, 3)
+            rng, k_pool_B, k_pool_A, k_G, k_D = jax.random.split(state.rng, 5)
 
             params_G = self.group_params(state.params, "G")
             params_D = self.group_params(state.params, "D")
 
             (_, (losses_G, visuals)), grads_G = jax.value_and_grad(
-                g_loss, has_aux=True)(params_G, params_D, real_A, real_B)
+                g_loss, has_aux=True)(params_G, params_D, real_A, real_B, k_G)
             updates_G, opt_state_G = opt_G.update(grads_G, state.opt_state["G"], params_G)
             params_G = optax.apply_updates(params_G, updates_G)
 
@@ -134,7 +137,7 @@ class RevGAN(BaseGAN):
 
             (_, (losses_D, preds)), grads_D = jax.value_and_grad(
                 d_loss, has_aux=True)(params_D, real_A, real_B,
-                                      fake_A_pooled, fake_B_pooled)
+                                      fake_A_pooled, fake_B_pooled, k_D)
             updates_D, opt_state_D = opt_D.update(grads_D, state.opt_state["D"], params_D)
             params_D = optax.apply_updates(params_D, updates_D)
 

@@ -85,14 +85,15 @@ def load_json(file):
 def import_attr(module_attr: str):
     """Import a dotted attribute path, applying package aliases.
 
-    ``ganslate.nn.generators.Resnet2D`` resolves to
-    ``ganslate_tpu.nn.generators.Resnet2D`` unless a real ``ganslate`` package
-    is importable (it is not, in this environment).
+    ``ganslate.nn.generators.Resnet2D`` ALWAYS resolves to
+    ``ganslate_tpu.nn.generators.Resnet2D`` — reference experiment YAMLs keep
+    their `_target_` strings, and a PyTorch `ganslate` installation on the
+    path must never shadow the TPU implementations (its torch modules cannot
+    run inside the jitted train steps).
     """
     for prefix, replacement in _IMPORT_ALIASES.items():
         if module_attr.startswith(prefix):
-            if importlib.util.find_spec(prefix.rstrip(".")) is None:
-                module_attr = replacement + module_attr[len(prefix):]
+            module_attr = replacement + module_attr[len(prefix):]
             break
     module_name, attr = module_attr.rsplit(".", 1)
     module = importlib.import_module(module_name)

@@ -61,19 +61,20 @@ class CycleGANMultiModalV3(cyclegan.CycleGAN):
         training_metrics = self.training_metrics
         opt_G, opt_D = self.optimizers["G"], self.optimizers["D"]
 
-        def g_loss(params_G, params_D, real_A, real_B):
+        def g_loss(params_G, params_D, real_A, real_B, key):
+            ks = jax.random.split(key, 6)
             # Forward: depthmap from [rgb_A, normalmap]; reconstruct the
             # normalmap from [rgb_A, fake depthmap].
-            fake_B2 = apply("G_AB", params_G["G_AB"], real_A)
+            fake_B2 = apply("G_AB", params_G["G_AB"], real_A, rng=ks[0])
             real_A1 = real_A[..., :3]  # rgb_A
             rec_A2 = apply("G_BA", params_G["G_BA"],
-                           jnp.concatenate([real_A1, fake_B2], axis=-1))
+                           jnp.concatenate([real_A1, fake_B2], axis=-1), rng=ks[1])
 
             # Backward: normalmap from [rgb_B, depthmap]; reconstruct depth.
-            fake_A2 = apply("G_BA", params_G["G_BA"], real_B)
+            fake_A2 = apply("G_BA", params_G["G_BA"], real_B, rng=ks[2])
             real_B1 = real_B[..., :3]  # rgb_B
             rec_B2 = apply("G_AB", params_G["G_AB"],
-                           jnp.concatenate([real_B1, fake_A2], axis=-1))
+                           jnp.concatenate([real_B1, fake_A2], axis=-1), rng=ks[3])
 
             # Zero-fill the RGB channels of fakes/recs (logging contract).
             dummy = jnp.zeros_like(real_A1)
@@ -85,8 +86,8 @@ class CycleGANMultiModalV3(cyclegan.CycleGAN):
                 "rec_B": jnp.concatenate([dummy, rec_B2], axis=-1),
             }
 
-            pred_B = apply("D_B", params_D["D_B"], fake_B2)
-            pred_A = apply("D_A", params_D["D_A"], fake_A2)
+            pred_B = apply("D_B", params_D["D_B"], fake_B2, rng=ks[4])
+            pred_A = apply("D_A", params_D["D_A"], fake_A2, rng=ks[5])
             losses = {
                 "G_AB": criterion_adv(pred_B, target_is_real=True),
                 "G_BA": criterion_adv(pred_A, target_is_real=True),
@@ -95,12 +96,13 @@ class CycleGANMultiModalV3(cyclegan.CycleGAN):
             total = sum(jax.tree_util.tree_leaves(losses), jnp.float32(0))
             return total, (losses, visuals)
 
-        def d_loss(params_D, real_A2, real_B2, fake_A2, fake_B2):
+        def d_loss(params_D, real_A2, real_B2, fake_A2, fake_B2, key):
+            ks = jax.random.split(key, 4)
             preds = {
-                "real_B": apply("D_B", params_D["D_B"], real_B2),
-                "fake_B": apply("D_B", params_D["D_B"], fake_B2),
-                "real_A": apply("D_A", params_D["D_A"], real_A2),
-                "fake_A": apply("D_A", params_D["D_A"], fake_A2),
+                "real_B": apply("D_B", params_D["D_B"], real_B2, rng=ks[0]),
+                "fake_B": apply("D_B", params_D["D_B"], fake_B2, rng=ks[1]),
+                "real_A": apply("D_A", params_D["D_A"], real_A2, rng=ks[2]),
+                "fake_A": apply("D_A", params_D["D_A"], fake_A2, rng=ks[3]),
             }
             loss_D_B = (criterion_adv(preds["real_B"], True) +
                         criterion_adv(preds["fake_B"], False))
@@ -110,13 +112,13 @@ class CycleGANMultiModalV3(cyclegan.CycleGAN):
 
         def train_step(state: GANState, batch):
             real_A, real_B = batch["A"], batch["B"]
-            rng, k_pool_B, k_pool_A = jax.random.split(state.rng, 3)
+            rng, k_pool_B, k_pool_A, k_G, k_D = jax.random.split(state.rng, 5)
 
             params_G = self.group_params(state.params, "G")
             params_D = self.group_params(state.params, "D")
 
             (_, (losses_G, visuals)), grads_G = jax.value_and_grad(
-                g_loss, has_aux=True)(params_G, params_D, real_A, real_B)
+                g_loss, has_aux=True)(params_G, params_D, real_A, real_B, k_G)
             updates_G, opt_state_G = opt_G.update(grads_G, state.opt_state["G"], params_G)
             params_G = optax.apply_updates(params_G, updates_G)
 
@@ -127,7 +129,7 @@ class CycleGANMultiModalV3(cyclegan.CycleGAN):
 
             (_, (losses_D, preds)), grads_D = jax.value_and_grad(
                 d_loss, has_aux=True)(params_D, real_A[..., 3:], real_B[..., 3:],
-                                      fake_A_pooled, fake_B_pooled)
+                                      fake_A_pooled, fake_B_pooled, k_D)
             updates_D, opt_state_D = opt_D.update(grads_D, state.opt_state["D"], params_D)
             params_D = optax.apply_updates(params_D, updates_D)
 

@@ -1,0 +1,106 @@
+"""Import the REFERENCE PyTorch networks (/root/reference/ganslate) for
+golden-parity testing of the torch-checkpoint importer.
+
+The reference's heavy deps (omegaconf, memcnn, loguru, monai) are not
+installed; minimal functional stand-ins are injected into sys.modules before
+the reference package is imported. The stand-ins only implement what the
+reference networks touch: omegaconf.MISSING/II (config dataclasses),
+memcnn's additive coupling forward/inverse math (invertible.py:8-24),
+loguru.logger, and monai's RandSpatialCrop signature."""
+
+import logging
+import sys
+import types
+
+_REFERENCE_ROOT = "/root/reference"
+
+
+def _install_stubs():
+    if "omegaconf" not in sys.modules:
+        from ganslate_tpu.configs import omega
+        fake = types.ModuleType("omegaconf")
+        fake.MISSING = omega.MISSING
+        fake.II = omega.II
+        sys.modules["omegaconf"] = fake
+
+    import torch
+    import torch.nn as nn
+
+    if "memcnn" not in sys.modules:
+        memcnn = types.ModuleType("memcnn")
+
+        class AdditiveCoupling(nn.Module):
+            """y1 = x1 + Fm(x2); y2 = x2 + Gm(y1) — memcnn's channel-split
+            additive coupling (used by reference invertible.py:13-16)."""
+
+            def __init__(self, Fm, Gm=None, implementation_fwd=-1,
+                         implementation_bwd=-1):
+                super().__init__()
+                self.Fm, self.Gm = Fm, Gm
+
+            def forward(self, x):
+                x1, x2 = torch.chunk(x, 2, dim=1)
+                y1 = x1 + self.Fm(x2)
+                y2 = x2 + self.Gm(y1)
+                return torch.cat([y1, y2], dim=1)
+
+            def inverse(self, y):
+                y1, y2 = torch.chunk(y, 2, dim=1)
+                x2 = y2 - self.Gm(y1)
+                x1 = y1 - self.Fm(x2)
+                return torch.cat([x1, x2], dim=1)
+
+        class InvertibleModuleWrapper(nn.Module):
+            def __init__(self, fn=None, keep_input=False,
+                         keep_input_inverse=False, **kwargs):
+                super().__init__()
+                self._fn = fn
+
+            def forward(self, x):
+                return self._fn(x)
+
+            def inverse(self, y):
+                return self._fn.inverse(y)
+
+        memcnn.AdditiveCoupling = AdditiveCoupling
+        memcnn.InvertibleModuleWrapper = InvertibleModuleWrapper
+        sys.modules["memcnn"] = memcnn
+
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+        loguru.logger = logging.getLogger("loguru")
+        sys.modules["loguru"] = loguru
+
+    if "monai" not in sys.modules:
+        monai = types.ModuleType("monai")
+        monai_t = types.ModuleType("monai.transforms")
+
+        class RandSpatialCrop:
+            def __init__(self, *args, **kwargs):
+                pass
+
+        monai_t.RandSpatialCrop = RandSpatialCrop
+        monai.transforms = monai_t
+        sys.modules["monai"] = monai
+        sys.modules["monai.transforms"] = monai_t
+
+
+def load_reference_nn():
+    """Returns the reference `ganslate.nn` generator/discriminator modules
+    (dict of classes), importing the reference package with stubs."""
+    _install_stubs()
+    if _REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, _REFERENCE_ROOT)
+    import ganslate.configs.base  # noqa: F401  (resolves configs.base attr)
+    from ganslate.nn.discriminators.patchgan.patchgan2d import PatchGAN2D
+    from ganslate.nn.discriminators.patchgan.patchgan3d import PatchGAN3D
+    from ganslate.nn.generators.resnet.resnet2d import Resnet2D
+    from ganslate.nn.generators.resnet.resnet3d import Resnet3D
+    from ganslate.nn.generators.unet.unet2d import Unet2D
+    from ganslate.nn.generators.unet.unet3d import Unet3D
+    from ganslate.nn.generators.vnet.vnet3d import Vnet3D
+    return {
+        "Resnet2D": Resnet2D, "Resnet3D": Resnet3D,
+        "Unet2D": Unet2D, "Unet3D": Unet3D, "Vnet3D": Vnet3D,
+        "PatchGAN2D": PatchGAN2D, "PatchGAN3D": PatchGAN3D,
+    }

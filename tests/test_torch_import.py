@@ -1,0 +1,148 @@
+"""Golden fidelity-parity tests for the torch-checkpoint importer: build the
+REFERENCE PyTorch networks (/root/reference/ganslate/nn), import their
+state_dicts through `ganslate_tpu.utils.torch_import`, and assert the flax
+forward pass reproduces the torch forward pass on the same input.
+
+This is the parity path for the north star (SSIM/PSNR vs reference
+checkpoints): if forwards match per-network, metrics match per-checkpoint."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ganslate_tpu.utils.torch_import import (convert_state_dict,
+                                             flax_param_spec,
+                                             import_torch_checkpoint)
+
+from .reference_torch import load_reference_nn
+
+torch = pytest.importorskip("torch")
+
+REF = load_reference_nn()
+
+
+def _to_torch(x):
+    """channels-last numpy -> channels-first torch tensor."""
+    perm = (0, x.ndim - 1, *range(1, x.ndim - 1))
+    return torch.tensor(np.transpose(x, perm))
+
+
+def _to_numpy(t):
+    """channels-first torch tensor -> channels-last numpy."""
+    x = t.detach().numpy()
+    perm = (0, *range(2, x.ndim), 1)
+    return np.transpose(x, perm)
+
+
+def _parity(torch_net, flax_net, in_shape, atol=2e-4, **apply_kwargs):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=in_shape).astype(np.float32)
+
+    torch_net.eval()
+    with torch.no_grad():
+        y_torch = _to_numpy(torch_net(_to_torch(x)))
+
+    spec = flax_param_spec(flax_net, jax.ShapeDtypeStruct(x.shape, jnp.float32))
+    params = convert_state_dict(torch_net.state_dict(), spec)
+    y_flax = np.asarray(jax.jit(
+        lambda p, x: flax_net.apply({"params": p}, x, **apply_kwargs)
+    )(params, jnp.asarray(x)))
+
+    assert y_torch.shape == y_flax.shape, (y_torch.shape, y_flax.shape)
+    np.testing.assert_allclose(y_torch, y_flax, atol=atol, rtol=1e-4)
+
+
+def test_resnet2d_forward_parity():
+    from ganslate_tpu.nn.generators import Resnet2D
+    t = REF["Resnet2D"](3, 3, "instance", n_residual_blocks=1)
+    f = Resnet2D(in_channels=3, out_channels=3, n_residual_blocks=1)
+    _parity(t, f, (2, 32, 32, 3))
+
+
+def test_resnet3d_forward_parity():
+    from ganslate_tpu.nn.generators import Resnet3D
+    t = REF["Resnet3D"](1, 1, "instance", n_residual_blocks=1)
+    f = Resnet3D(in_channels=1, out_channels=1, n_residual_blocks=1)
+    _parity(t, f, (1, 12, 12, 12, 1))
+
+
+def test_unet2d_forward_parity():
+    from ganslate_tpu.nn.generators import Unet2D
+    t = REF["Unet2D"](1, 1, 5, "instance", ngf=8, use_dropout=False)
+    f = Unet2D(in_channels=1, out_channels=1, num_downs=5, ngf=8)
+    _parity(t, f, (2, 32, 32, 1))
+
+
+def test_unet3d_forward_parity():
+    from ganslate_tpu.nn.generators import Unet3D
+    t = REF["Unet3D"](1, 1, 5, "instance", ngf=4, use_dropout=False)
+    f = Unet3D(in_channels=1, out_channels=1, num_downs=5, ngf=4)
+    _parity(t, f, (1, 32, 32, 32, 1))
+
+
+def test_patchgan2d_forward_parity():
+    from ganslate_tpu.nn.discriminators import PatchGAN2D
+    t = REF["PatchGAN2D"](3, 8, 2, (4, 4), "instance")
+    f = PatchGAN2D(in_channels=3, ndf=8, n_layers=2, kernel_size=(4, 4))
+    _parity(t, f, (2, 32, 32, 3))
+
+
+def test_patchgan3d_forward_parity():
+    from ganslate_tpu.nn.discriminators import PatchGAN3D
+    t = REF["PatchGAN3D"](1, 4, 1, (4, 4, 4), "instance")
+    f = PatchGAN3D(in_channels=1, ndf=4, n_layers=1, kernel_size=(4, 4, 4))
+    _parity(t, f, (1, 16, 16, 16, 1))
+
+
+def test_cyclegan_checkpoint_import(tmp_path):
+    """Full reference checkpoint (nn/gans/base.py:226-251 format) -> CycleGAN
+    state; `infer` must match the torch G_AB forward."""
+    from ganslate_tpu.utils.builders import build_gan
+    from ganslate_tpu.utils.testing import make_cyclegan_conf
+
+    nets = {
+        "G_AB": REF["Resnet2D"](3, 3, "instance", n_residual_blocks=1),
+        "G_BA": REF["Resnet2D"](3, 3, "instance", n_residual_blocks=1),
+        "D_B": REF["PatchGAN2D"](3, 8, 2, (4, 4), "instance"),
+        "D_A": REF["PatchGAN2D"](3, 8, 2, (4, 4), "instance"),
+    }
+    checkpoint = {name: net.state_dict() for name, net in nets.items()}
+    checkpoint["optimizer_G"] = {}
+    checkpoint["optimizer_D"] = {}
+    path = tmp_path / "120.pth"
+    torch.save(checkpoint, path)
+
+    conf = make_cyclegan_conf(output_dir=str(tmp_path), batch_size=8,
+                              image_size=32, channels=3, n_residual_blocks=1,
+                              ngf=64, ndf=8, n_layers_D=2,
+                              mixed_precision=False)
+    rng = np.random.default_rng(1)
+    batch = {"A": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+             "B": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)}
+
+    model = build_gan(conf)
+    import_torch_checkpoint(path, model, example_batch=batch)
+
+    out = np.asarray(model.infer(jnp.asarray(batch["A"])))
+    nets["G_AB"].eval()
+    with torch.no_grad():
+        ref = _to_numpy(nets["G_AB"](_to_torch(batch["A"])))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+    # BA direction uses the other generator's weights.
+    out_ba = np.asarray(model.infer(jnp.asarray(batch["B"]), direction="BA"))
+    nets["G_BA"].eval()
+    with torch.no_grad():
+        ref_ba = _to_numpy(nets["G_BA"](_to_torch(batch["B"])))
+    np.testing.assert_allclose(out_ba, ref_ba, atol=2e-4, rtol=1e-4)
+
+
+def test_convert_rejects_mismatched_architectures():
+    from ganslate_tpu.nn.generators import Resnet2D
+    t = REF["Resnet2D"](3, 3, "instance", n_residual_blocks=2)
+    f = Resnet2D(in_channels=3, out_channels=3, n_residual_blocks=1)
+    spec = flax_param_spec(f, jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32))
+    with pytest.raises(ValueError, match="parameter count mismatch"):
+        convert_state_dict(t.state_dict(), spec)
