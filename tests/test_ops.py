@@ -60,6 +60,32 @@ def test_pallas_kernel_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(rstd_p), np.asarray(rstd_x), rtol=1e-4)
 
 
+def test_pallas_tiled_kernel_interpret_matches_xla():
+    """The spatially tiled two-pass kernel (for slabs beyond the VMEM
+    budget) agrees with the XLA fallback, including partial-moment
+    accumulation across tiles (E[x^2]-E[x]^2 form)."""
+    x = jax.random.normal(jax.random.key(4), (2, 32, 16, 24), jnp.float32) * 3 + 2
+    in_mod._INTERPRET = True
+    try:
+        out_p, mean_p, rstd_p = in_mod._pallas_forward_tiled(
+            x, 1e-5, "leaky_relu", 0.2, tile=64)
+    finally:
+        in_mod._INTERPRET = False
+    out_x, mean_x, rstd_x = in_mod._xla_forward(x, 1e-5, "leaky_relu", 0.2)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rstd_p), np.asarray(rstd_x), rtol=1e-4)
+
+
+def test_tile_picker():
+    assert in_mod._pick_tile(256 * 256, 64) == 8192
+    assert in_mod._pick_tile(7, 64) is None
+    # Tile must divide the spatial size.
+    s = 96 * 96
+    tile = in_mod._pick_tile(s, 16)
+    assert tile is not None and s % tile == 0 and tile % 8 == 0
+
+
 def test_3d_volumes():
     x = jax.random.normal(jax.random.key(3), (1, 4, 6, 6, 4))
     got = in_mod.instance_norm(x)
