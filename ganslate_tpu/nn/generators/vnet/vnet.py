@@ -265,6 +265,31 @@ class VnetGenerator(nn.Module):
     def num_feature_levels(self):
         return 1 + len(self.down_blocks)
 
+    def torch_param_order_rank(self, path):
+        """Sort key aligning flax param-creation order with the reference's
+        torch registration order (vnet3d.py registers in_ab, in_ba, out_ab,
+        out_ba, downs, ups — and ab-convs before ba-convs inside each block,
+        while our init trace touches the ba branches first). Consumed by
+        utils.torch_import.flax_param_spec."""
+        name = path[0]
+        top = {"in_ab": (0, 0), "in_ba": (1, 0),
+               "out_ab": (2, 0), "out_ba": (3, 0)}.get(name)
+        if top is None:
+            kind, _, idx = name.rpartition("_")
+            idx = int(idx) if idx.isdigit() else 0
+            if kind == "downs":
+                top = (4, 2 * idx)
+            elif kind == "attns":
+                top = (4, 2 * idx + 1)
+            elif kind == "ups":
+                top = (5, idx)
+            else:
+                top = (9, 0)
+        sub = {"down_conv_ab": 0, "up_conv_ab": 0,
+               "down_conv_ba": 1, "up_conv_ba": 1,
+               "core": 2, "relu": 3}.get(path[1], 0) if len(path) > 1 else 0
+        return (*top, sub)
+
     def __call__(self, x, inverse: bool = False,
                  extract_features: Optional[Sequence[int]] = None):
         if inverse and not self.use_inverse:

@@ -46,29 +46,95 @@ Path = Tuple[str, ...]
 # ----------------------------------------------------- flax parameter order
 
 
-def flax_param_spec(module, dummy_input, **call_kwargs
-                    ) -> List[Tuple[Path, Any]]:
-    """(path, ShapeDtypeStruct)-like pairs in CREATION (forward) order.
+class SpecEntry:
+    """One torch-importable parameter group.
+
+    Simple entry: `inner` is None, `node` is a single flax leaf matching one
+    torch tensor. Stacked entry (a whole coupling sequence created as ONE
+    dict-valued flax param with blocks stacked on a leading axis, see
+    nn/invertible.py): `node` is the params subtree and `inner` lists one
+    block's leaf subpaths in creation order — the entry consumes
+    n_blocks * len(inner) consecutive torch tensors (torch registers each
+    block's modules separately, block-major)."""
+
+    def __init__(self, path: Path, node, inner: Optional[List[Path]] = None):
+        self.path = path
+        self.node = node
+        self.inner = inner
+
+    def groups(self) -> List[str]:
+        """Per-block coupling branches in dict (creation) order, e.g. F, G."""
+        return list(self.node.keys())
+
+    def n_blocks(self) -> int:
+        return int(self._inner_leaf(self.groups()[0], self.inner[0]).shape[0])
+
+    def n_torch_tensors(self) -> int:
+        if self.inner is None:
+            return 1
+        return self.n_blocks() * len(self.groups()) * len(self.inner)
+
+    def _inner_leaf(self, group: str, subpath: Path):
+        node = self.node[group]
+        for part in subpath:
+            node = node[part]
+        return node
+
+
+def flax_param_spec(module, dummy_input, **call_kwargs) -> List[SpecEntry]:
+    """Parameter groups in torch-matching order.
 
     Runs an abstract init (`jax.eval_shape` — zero compute/memory) with
-    `flax.linen.Module.param` patched to record each parameter's scope path
-    as it is first created."""
+    `flax.linen.Module.param` and `Module.init` patched to record (a) each
+    parameter's scope path as it is first created and (b) the leaf order of
+    NESTED inits (invertible sequences initialize their per-block template
+    through an inner `block.init`, then store the stacked result as one
+    dict-valued param — the nested records supply that dict's leaf order).
+
+    If the module defines `torch_param_order_rank(path)`, entries are
+    stable-sorted by it — needed when torch registers modules in a different
+    order than the flax forward creates them (e.g. V-Net registers its
+    out-block right after the in-block, vnet3d.py:65-69)."""
     import jax
     import jax.numpy as jnp
     from flax import linen as fnn
 
-    order: List[Path] = []
+    order: List[Tuple[Path, Optional[List[Path]]]] = []
     seen = set()
-    original = fnn.Module.param
+    depth = [0]
+    nested_groups: List[List[Path]] = []   # completed nested-init leaf orders
+    original_param = fnn.Module.param
+    original_init = fnn.Module.init
 
     def recording_param(self, name, *args, **kwargs):
         path = tuple(self.scope.path) + (name,)
+        value = original_param(self, name, *args, **kwargs)
+        if depth[0] > 1:
+            if nested_groups and path not in nested_groups[-1]:
+                nested_groups[-1].append(path)
+            return value
         if path not in seen:
             seen.add(path)
-            order.append(path)
-        return original(self, name, *args, **kwargs)
+            if isinstance(value, dict) or (hasattr(value, "items")
+                                           and not hasattr(value, "shape")):
+                inner = nested_groups[-1] if nested_groups else None
+                order.append((path, list(inner) if inner else None))
+            else:
+                order.append((path, None))
+            nested_groups.clear()
+        return value
+
+    def recording_init(self, *args, **kwargs):
+        depth[0] += 1
+        if depth[0] > 1:
+            nested_groups.append([])
+        try:
+            return original_init(self, *args, **kwargs)
+        finally:
+            depth[0] -= 1
 
     fnn.Module.param = recording_param
+    fnn.Module.init = recording_init
     try:
         variables = jax.eval_shape(
             lambda: module.init(jax.random.key(0),
@@ -77,15 +143,29 @@ def flax_param_spec(module, dummy_input, **call_kwargs
                                                   jnp.float32)),
                                 **call_kwargs))
     finally:
-        fnn.Module.param = original
+        fnn.Module.param = original_param
+        fnn.Module.init = original_init
 
     params = variables["params"]
     spec = []
-    for path in order:
+    for path, inner in order:
+        # flax's param() also fires on READS inside nested `block.apply`
+        # calls (invertible cores apply their template under the sequence
+        # scan) — those record scope-RELATIVE paths that do not exist in the
+        # final tree; drop them.
         node = params
         for part in path:
+            if not hasattr(node, "keys") or part not in node:
+                node = None
+                break
             node = node[part]
-        spec.append((path, node))
+        if node is None:
+            continue
+        spec.append(SpecEntry(path, node, inner))
+
+    rank = getattr(module, "torch_param_order_rank", None)
+    if rank is not None:
+        spec = sorted(spec, key=lambda e: rank(e.path))
     return spec
 
 
@@ -146,27 +226,60 @@ def _convert_leaf(torch_key: str, arr: np.ndarray,
     return converted
 
 
-def convert_state_dict(state_dict, param_spec: List[Tuple[Path, Any]]
+def _set_path(tree: Dict[str, Any], path: Path, value):
+    node = tree
+    for part in path[:-1]:
+        node = node.setdefault(part, {})
+    node[path[-1]] = value
+
+
+def convert_state_dict(state_dict, param_spec: List[SpecEntry]
                        ) -> Dict[str, Any]:
     """Convert one torch `state_dict` into a params tree following
-    `param_spec` (from `flax_param_spec`: forward-ordered (path, leaf))."""
+    `param_spec` (from `flax_param_spec`)."""
     torch_items = ordered_torch_params(state_dict)
-    if len(param_spec) != len(torch_items):
-        flax_desc = [("/".join(p), tuple(l.shape)) for p, l in param_spec]
+    expected = sum(e.n_torch_tensors() for e in param_spec)
+    if expected != len(torch_items):
+        flax_desc = [("/".join(e.path), e.n_torch_tensors()) for e in param_spec]
         torch_desc = [(k, tuple(a.shape)) for k, a in torch_items]
         raise ValueError(
             f"parameter count mismatch: torch has {len(torch_items)} "
-            f"(after buffer/alias removal), flax expects {len(param_spec)}.\n"
+            f"(after buffer/alias removal), flax expects {expected}.\n"
             f"torch: {torch_desc}\nflax: {flax_desc}")
 
     result: Dict[str, Any] = {}
-    for (flax_path, leaf), (torch_key, arr) in zip(param_spec, torch_items):
-        converted = _convert_leaf(torch_key, arr, flax_path, tuple(leaf.shape))
-        dtype = getattr(leaf, "dtype", np.float32)
-        node = result
-        for part in flax_path[:-1]:
-            node = node.setdefault(part, {})
-        node[flax_path[-1]] = converted.astype(dtype)
+    cursor = 0
+    for entry in param_spec:
+        if entry.inner is None:
+            torch_key, arr = torch_items[cursor]
+            cursor += 1
+            converted = _convert_leaf(torch_key, arr, entry.path,
+                                      tuple(entry.node.shape))
+            dtype = getattr(entry.node, "dtype", np.float32)
+            _set_path(result, entry.path, converted.astype(dtype))
+            continue
+
+        # Stacked coupling sequence: torch registers block-major
+        # (block0: F leaves, G leaves; block1: ...), flax stores each leaf
+        # stacked over blocks on a leading axis.
+        groups = entry.groups()
+        n_blocks = entry.n_blocks()
+        collected = {(g, sub): [] for g in groups for sub in entry.inner}
+        for _ in range(n_blocks):
+            for g in groups:
+                for sub in entry.inner:
+                    torch_key, arr = torch_items[cursor]
+                    cursor += 1
+                    leaf = entry._inner_leaf(g, sub)
+                    converted = _convert_leaf(torch_key, arr,
+                                              entry.path + (g,) + sub,
+                                              tuple(leaf.shape[1:]))
+                    collected[(g, sub)].append(converted)
+        for (g, sub), arrs in collected.items():
+            leaf = entry._inner_leaf(g, sub)
+            dtype = getattr(leaf, "dtype", np.float32)
+            _set_path(result, entry.path + (g,) + sub,
+                      np.stack(arrs).astype(dtype))
     return result
 
 

@@ -36,7 +36,11 @@ def _install_stubs():
             def __init__(self, Fm, Gm=None, implementation_fwd=-1,
                          implementation_bwd=-1):
                 super().__init__()
-                self.Fm, self.Gm = Fm, Gm
+                import copy
+                # memcnn semantics: Gm defaults to a copy of Fm (the
+                # reference always constructs with Fm only, invertible.py:15).
+                self.Fm = Fm
+                self.Gm = copy.deepcopy(Fm) if Gm is None else Gm
 
             def forward(self, x):
                 x1, x2 = torch.chunk(x, 2, dim=1)

@@ -146,3 +146,41 @@ def test_convert_rejects_mismatched_architectures():
     spec = flax_param_spec(f, jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32))
     with pytest.raises(ValueError, match="parameter count mismatch"):
         convert_state_dict(t.state_dict(), spec)
+
+
+def test_vnet3d_brats_forward_parity():
+    """BRaTS config (no inverse, invertibles disabled): Vnet3D torch->flax
+    import including the stacked coupling cores (block-major torch params
+    de-interleaved onto the scan-stacked leading axis)."""
+    from ganslate_tpu.nn.generators import Vnet3D
+    t = REF["Vnet3D"](1, 1, "instance", first_layer_channels=4,
+                      down_blocks=(2, 2, 3), up_blocks=(3, 3, 3),
+                      use_memory_saving=False, use_inverse=False)
+    f = Vnet3D(in_channels=1, out_channels=1, first_layer_channels=4,
+               down_blocks=(2, 2, 3), up_blocks=(3, 3, 3),
+               use_memory_saving=False, use_inverse=False)
+    _parity(t, f, (1, 16, 16, 16, 1), atol=5e-4)
+
+
+def test_vnet3d_inverse_forward_parity():
+    """Dual-direction V-Net (RevGAN style): both the AB forward and the BA
+    inverse must match the reference."""
+    from ganslate_tpu.nn.generators import Vnet3D
+    kwargs = dict(first_layer_channels=4, down_blocks=(1, 2), up_blocks=(2, 1),
+                  use_memory_saving=False, use_inverse=True)
+    t = REF["Vnet3D"](1, 1, "instance", **kwargs)
+    f = Vnet3D(in_channels=1, out_channels=1, **kwargs)
+    _parity(t, f, (1, 8, 8, 8, 1), atol=5e-4)
+
+    # BA direction.
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32)
+    t.eval()
+    with torch.no_grad():
+        y_torch = _to_numpy(t(_to_torch(x), inverse=True))
+    spec = flax_param_spec(f, jax.ShapeDtypeStruct(x.shape, jnp.float32))
+    params = convert_state_dict(t.state_dict(), spec)
+    y_flax = np.asarray(jax.jit(
+        lambda p, x: f.apply({"params": p}, x, inverse=True)
+    )(params, jnp.asarray(x)))
+    np.testing.assert_allclose(y_torch, y_flax, atol=5e-4, rtol=1e-4)
