@@ -101,6 +101,13 @@ class Piresnet3D(nn.Module):
             pad_mode="replicate", spatial_dims=self.spatial_dims,
             use_memory_saving=self.use_memory_saving, kernel_init=init)
 
+    def torch_param_order_rank(self, path):
+        """Align with the reference's registration order (piresnet3d.py:46-56:
+        downconv_ab, upconv_ab, downconv_ba, upconv_ba, core) for the
+        torch-checkpoint importer."""
+        return ({"down_ab": 0, "up_ab": 1, "down_ba": 2, "up_ba": 3,
+                 "core": 4}.get(path[0], 9),)
+
     def __call__(self, x, inverse: bool = False,
                  extract_features: Optional[Sequence[int]] = None):
         if inverse and not self.use_inverse:

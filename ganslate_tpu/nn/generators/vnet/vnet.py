@@ -278,11 +278,13 @@ class VnetGenerator(nn.Module):
             kind, _, idx = name.rpartition("_")
             idx = int(idx) if idx.isdigit() else 0
             if kind == "downs":
-                top = (4, 2 * idx)
+                top = (4, idx)
             elif kind == "attns":
-                top = (4, 2 * idx + 1)
-            elif kind == "ups":
+                # torch registers the whole attn ModuleList AFTER all downs
+                # (selfattention_vnet3d.py:108-109).
                 top = (5, idx)
+            elif kind == "ups":
+                top = (6, idx)
             else:
                 top = (9, 0)
         sub = {"down_conv_ab": 0, "up_conv_ab": 0,

@@ -57,10 +57,14 @@ class SpecEntry:
     n_blocks * len(inner) consecutive torch tensors (torch registers each
     block's modules separately, block-major)."""
 
-    def __init__(self, path: Path, node, inner: Optional[List[Path]] = None):
+    def __init__(self, path: Path, node, inner: Optional[List[Path]] = None,
+                 transpose: bool = False,
+                 inner_transpose: Optional[Dict[Path, bool]] = None):
         self.path = path
         self.node = node
         self.inner = inner
+        self.transpose = transpose
+        self.inner_transpose = inner_transpose or {}
 
     def groups(self) -> List[str]:
         """Per-block coupling branches in dict (creation) order, e.g. F, G."""
@@ -101,6 +105,7 @@ def flax_param_spec(module, dummy_input, **call_kwargs) -> List[SpecEntry]:
 
     order: List[Tuple[Path, Optional[List[Path]]]] = []
     seen = set()
+    transpose_paths = set()
     depth = [0]
     nested_groups: List[List[Path]] = []   # completed nested-init leaf orders
     original_param = fnn.Module.param
@@ -109,6 +114,11 @@ def flax_param_spec(module, dummy_input, **call_kwargs) -> List[SpecEntry]:
     def recording_param(self, name, *args, **kwargs):
         path = tuple(self.scope.path) + (name,)
         value = original_param(self, name, *args, **kwargs)
+        # Fractionally-strided convs own their kernel directly and need the
+        # spatial-flip import transform; identify them by module type here
+        # (the path alone cannot distinguish them from plain nn.Conv).
+        if name == "kernel" and type(self).__name__ == "ConvTranspose":
+            transpose_paths.add(path)
         if depth[0] > 1:
             if nested_groups and path not in nested_groups[-1]:
                 nested_groups[-1].append(path)
@@ -161,7 +171,31 @@ def flax_param_spec(module, dummy_input, **call_kwargs) -> List[SpecEntry]:
             node = node[part]
         if node is None:
             continue
-        spec.append(SpecEntry(path, node, inner))
+        inner_transpose = None
+        if inner is not None:
+            inner_transpose = {sub: sub in transpose_paths for sub in inner}
+        spec.append(SpecEntry(path, node, inner,
+                              transpose=path in transpose_paths,
+                              inner_transpose=inner_transpose))
+
+    # Canonicalize to torch's state_dict DFS order: a module's DIRECT
+    # parameters come before anything nested under its child modules (e.g.
+    # SAGAN's `gamma` is registered last but serialized first,
+    # nn/attention.py:23), while sibling order stays creation order.
+    first_seen: Dict[Path, int] = {}
+    for idx, entry in enumerate(spec):
+        for i in range(len(entry.path)):
+            first_seen.setdefault(entry.path[:i + 1], idx)
+
+    def torch_dfs_key(path: Path):
+        key = []
+        for i in range(len(path)):
+            prefix = path[:i + 1]
+            is_param = i == len(path) - 1
+            key.append((0 if is_param else 1, first_seen[prefix]))
+        return tuple(key)
+
+    spec = sorted(spec, key=lambda e: torch_dfs_key(e.path))
 
     rank = getattr(module, "torch_param_order_rank", None)
     if rank is not None:
@@ -200,16 +234,16 @@ def ordered_torch_params(state_dict) -> List[Tuple[str, np.ndarray]]:
 
 
 def _convert_leaf(torch_key: str, arr: np.ndarray,
-                  flax_path: Path, flax_shape: Tuple[int, ...]) -> np.ndarray:
+                  flax_path: Path, flax_shape: Tuple[int, ...],
+                  transpose: bool = False) -> np.ndarray:
     name = flax_path[-1]
-    parent = flax_path[-2] if len(flax_path) > 1 else ""
     if name == "kernel" and arr.ndim >= 3:
         spatial = tuple(range(2, arr.ndim))
-        if parent == "conv":
-            # nn.Conv child module: plain conv, (O, I, *k) -> (*k, I, O).
+        if not transpose:
+            # Plain conv: (O, I, *k) -> (*k, I, O).
             converted = np.transpose(arr, (*spatial, 1, 0))
         else:
-            # Our ConvTranspose owns its "kernel" directly:
+            # Our ConvTranspose (fractionally-strided correlation):
             # (I, O, *k) -> flip spatial -> (*k, I, O).
             converted = np.transpose(np.flip(arr, axis=spatial),
                                      (*spatial, 0, 1))
@@ -254,7 +288,8 @@ def convert_state_dict(state_dict, param_spec: List[SpecEntry]
             torch_key, arr = torch_items[cursor]
             cursor += 1
             converted = _convert_leaf(torch_key, arr, entry.path,
-                                      tuple(entry.node.shape))
+                                      tuple(entry.node.shape),
+                                      transpose=entry.transpose)
             dtype = getattr(entry.node, "dtype", np.float32)
             _set_path(result, entry.path, converted.astype(dtype))
             continue
@@ -271,9 +306,10 @@ def convert_state_dict(state_dict, param_spec: List[SpecEntry]
                     torch_key, arr = torch_items[cursor]
                     cursor += 1
                     leaf = entry._inner_leaf(g, sub)
-                    converted = _convert_leaf(torch_key, arr,
-                                              entry.path + (g,) + sub,
-                                              tuple(leaf.shape[1:]))
+                    converted = _convert_leaf(
+                        torch_key, arr, entry.path + (g,) + sub,
+                        tuple(leaf.shape[1:]),
+                        transpose=entry.inner_transpose.get(sub, False))
                     collected[(g, sub)].append(converted)
         for (g, sub), arrs in collected.items():
             leaf = entry._inner_leaf(g, sub)

@@ -80,8 +80,21 @@ def _install_stubs():
         monai_t = types.ModuleType("monai.transforms")
 
         class RandSpatialCrop:
-            def __init__(self, *args, **kwargs):
-                pass
+            """Deterministic CENTER-crop stand-in for MONAI's random crop —
+            matches the flax MultiScalePatchGAN3D's no-rng eval behavior so
+            forward parity is checkable. Keeps dim 0 (treated as channel by
+            MONAI; here the batch), crops the remaining dims to roi_size."""
+
+            def __init__(self, roi_size, random_center=True,
+                         random_size=False):
+                self.roi_size = roi_size
+
+            def __call__(self, x):
+                slices = [slice(None)]
+                for dim, target in enumerate(self.roi_size, start=1):
+                    start = (x.shape[dim] - int(target)) // 2
+                    slices.append(slice(start, start + int(target)))
+                return x[tuple(slices)]
 
         monai_t.RandSpatialCrop = RandSpatialCrop
         monai.transforms = monai_t
@@ -96,15 +109,25 @@ def load_reference_nn():
     if _REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, _REFERENCE_ROOT)
     import ganslate.configs.base  # noqa: F401  (resolves configs.base attr)
+    from ganslate.nn.discriminators.patchgan.multiscale_patchgan3d import \
+        MultiScalePatchGAN3D
     from ganslate.nn.discriminators.patchgan.patchgan2d import PatchGAN2D
     from ganslate.nn.discriminators.patchgan.patchgan3d import PatchGAN3D
+    from ganslate.nn.discriminators.patchgan.selfattention_patchgan3d import \
+        SelfAttentionPatchGAN3D
+    from ganslate.nn.generators.resnet.piresnet3d import Piresnet3D
     from ganslate.nn.generators.resnet.resnet2d import Resnet2D
     from ganslate.nn.generators.resnet.resnet3d import Resnet3D
     from ganslate.nn.generators.unet.unet2d import Unet2D
     from ganslate.nn.generators.unet.unet3d import Unet3D
+    from ganslate.nn.generators.vnet.selfattention_vnet3d import \
+        SelfAttentionVnet3D
     from ganslate.nn.generators.vnet.vnet3d import Vnet3D
     return {
-        "Resnet2D": Resnet2D, "Resnet3D": Resnet3D,
+        "Resnet2D": Resnet2D, "Resnet3D": Resnet3D, "Piresnet3D": Piresnet3D,
         "Unet2D": Unet2D, "Unet3D": Unet3D, "Vnet3D": Vnet3D,
+        "SelfAttentionVnet3D": SelfAttentionVnet3D,
         "PatchGAN2D": PatchGAN2D, "PatchGAN3D": PatchGAN3D,
+        "SelfAttentionPatchGAN3D": SelfAttentionPatchGAN3D,
+        "MultiScalePatchGAN3D": MultiScalePatchGAN3D,
     }

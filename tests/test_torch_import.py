@@ -184,3 +184,75 @@ def test_vnet3d_inverse_forward_parity():
         lambda p, x: f.apply({"params": p}, x, inverse=True)
     )(params, jnp.asarray(x)))
     np.testing.assert_allclose(y_torch, y_flax, atol=5e-4, rtol=1e-4)
+
+
+def test_piresnet3d_forward_parity():
+    """RevGAN's partially-invertible generator, both directions."""
+    from ganslate_tpu.nn.generators import Piresnet3D
+    t = REF["Piresnet3D"](1, 1, "instance", depth=2, first_layer_channels=8)
+    f = Piresnet3D(in_channels=1, out_channels=1, depth=2,
+                   first_layer_channels=8)
+    _parity(t, f, (1, 12, 12, 12, 1), atol=5e-4)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 12, 12, 12, 1)).astype(np.float32)
+    t.eval()
+    with torch.no_grad():
+        y_torch = _to_numpy(t(_to_torch(x), inverse=True))
+    spec = flax_param_spec(f, jax.ShapeDtypeStruct(x.shape, jnp.float32))
+    params = convert_state_dict(t.state_dict(), spec)
+    y_flax = np.asarray(jax.jit(
+        lambda p, x: f.apply({"params": p}, x, inverse=True)
+    )(params, jnp.asarray(x)))
+    np.testing.assert_allclose(y_torch, y_flax, atol=5e-4, rtol=1e-4)
+
+
+def test_selfattention_vnet3d_forward_parity():
+    from ganslate_tpu.nn.generators import SelfAttentionVnet3D
+    kwargs = dict(first_layer_channels=4, down_blocks=(1, 1), up_blocks=(1, 1),
+                  use_memory_saving=False, use_inverse=False,
+                  enable_attention_block=(False, True))
+    t = REF["SelfAttentionVnet3D"](1, 1, "instance", **kwargs)
+    f = SelfAttentionVnet3D(in_channels=1, out_channels=1, **kwargs)
+    _parity(t, f, (1, 8, 8, 8, 1), atol=5e-4)
+
+
+def test_vnet3d_separable_forward_parity():
+    from ganslate_tpu.nn.generators import Vnet3D
+    kwargs = dict(first_layer_channels=4, down_blocks=(1, 1), up_blocks=(1, 1),
+                  use_memory_saving=False, use_inverse=False,
+                  is_separable=True)
+    t = REF["Vnet3D"](1, 1, "instance", **kwargs)
+    f = Vnet3D(in_channels=1, out_channels=1, **kwargs)
+    _parity(t, f, (1, 8, 8, 8, 1), atol=5e-4)
+
+
+def test_selfattention_patchgan3d_forward_parity():
+    from ganslate_tpu.nn.discriminators import SelfAttentionPatchGAN3D
+    t = REF["SelfAttentionPatchGAN3D"](1, 8, 1, (4, 4, 4), "instance")
+    f = SelfAttentionPatchGAN3D(in_channels=1, ndf=8, n_layers=1,
+                                kernel_size=(4, 4, 4))
+    _parity(t, f, (1, 12, 12, 12, 1), atol=5e-4)
+
+
+def test_multiscale_patchgan3d_forward_parity():
+    """Dict-of-scales output; the monai stub center-crops (deterministic),
+    matching the flax module's no-rng eval behavior."""
+    from ganslate_tpu.nn.discriminators import MultiScalePatchGAN3D
+    t = REF["MultiScalePatchGAN3D"](1, 4, 1, (4, 4, 4), 2, "instance")
+    f = MultiScalePatchGAN3D(in_channels=1, ndf=4, n_layers=1,
+                             kernel_size=(4, 4, 4), scales=2)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    t.eval()
+    with torch.no_grad():
+        y_torch = {k: _to_numpy(v) for k, v in t(_to_torch(x)).items()}
+    spec = flax_param_spec(f, jax.ShapeDtypeStruct(x.shape, jnp.float32))
+    params = convert_state_dict(t.state_dict(), spec)
+    y_flax = jax.jit(lambda p, x: f.apply({"params": p}, x))(params,
+                                                             jnp.asarray(x))
+    assert set(y_torch) == set(y_flax.keys())
+    for scale in y_torch:
+        np.testing.assert_allclose(y_torch[scale], np.asarray(y_flax[scale]),
+                                   atol=5e-4, rtol=1e-4)
