@@ -364,7 +364,19 @@ class BaseGAN(ABC):
                     "step": self.state.step,
                     "rng": jax.random.key_data(self.state.rng),
                 }
-                restored = ckptr.restore(path, target)
+                try:
+                    restored = ckptr.restore(path, target)
+                except Exception:
+                    # Checkpoints converted from PyTorch carry no optimizer
+                    # state (utils/torch_import.py): restore the rest and
+                    # start the optimizers fresh.
+                    slim = {k: v for k, v in target.items() if k != "opt_state"}
+                    restored = ckptr.restore(path, slim)
+                    if load_optimizers:
+                        logger.warning(
+                            "Checkpoint has no optimizer state (e.g. imported "
+                            "from PyTorch); optimizers start fresh.")
+                    load_optimizers = False
                 new_state = self.state.replace(
                     params=restored["params"],
                     rng=jax.random.wrap_key_data(restored["rng"]),

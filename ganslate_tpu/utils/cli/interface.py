@@ -61,5 +61,23 @@ def download_dataset(name, path):
     download_datasets.download(name, path)
 
 
+@interface.command(
+    name="import-torch-checkpoint",
+    help="Convert a reference PyTorch .pth checkpoint into a native orbax "
+         "checkpoint under the experiment's output_dir, loadable via "
+         "checkpointing.load_iter by train/test/infer.")
+@click.argument("checkpoint_path")
+@click.argument("dotlist_args", nargs=-1)
+@click.option("--iter", "iter_idx", default=None, type=int,
+              help="Iteration index for the converted checkpoint "
+                   "(default: parsed from the filename, e.g. 20000.pth).")
+def import_torch_checkpoint_cmd(checkpoint_path, dotlist_args, iter_idx):
+    from ganslate_tpu.utils.builders import build_conf
+    from ganslate_tpu.utils.torch_import import convert_checkpoint_to_native
+    conf = build_conf(dotlist_args)
+    path = convert_checkpoint_to_native(checkpoint_path, conf, iter_idx)
+    click.echo(f"Converted checkpoint written to {path}")
+
+
 if __name__ == "__main__":
     interface()

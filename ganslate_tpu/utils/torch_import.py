@@ -365,3 +365,52 @@ def import_torch_checkpoint(path, model, example_batch: Dict[str, Any]):
     else:
         model.state = model.state.replace(params=params)
     return model
+
+
+def _synthetic_example_batch(conf, model):
+    """Shape-only batch for parameter tracing, derived from the config (conv
+    parameter shapes are independent of spatial size; use one big enough for
+    the deepest zoo net)."""
+    gan_conf = conf.train.gan if conf.get("train") else conf[conf.mode].gan
+    ch_a, ch_b = (int(c) for c in gan_conf.generator.in_out_channels.AB)
+    any_g = next(m for n, m in model.networks.items() if n.startswith("G"))
+    spatial_dims = getattr(any_g, "spatial_dims", 2)
+    spatial = (256, 256) if spatial_dims == 2 else (32, 32, 32)
+    return {"A": np.zeros((1, *spatial, ch_a), np.float32),
+            "B": np.zeros((1, *spatial, ch_b), np.float32)}
+
+
+def convert_checkpoint_to_native(checkpoint_path, conf, iter_idx=None) -> str:
+    """Convert a reference PyTorch `.pth` checkpoint into a native orbax
+    checkpoint at `<output_dir>/checkpoints/<iter>` so every engine can
+    `load_iter` it. Returns the written path.
+
+    The converted checkpoint carries `{params, step, rng}` (torch optimizer
+    moments are not portable); `BaseGAN.load_networks` detects the missing
+    optimizer state and starts optimizers fresh when resuming training."""
+    import jax
+    import orbax.checkpoint as ocp
+    from pathlib import Path as _P
+
+    from ganslate_tpu.utils.builders import build_gan
+
+    if conf.get("train"):
+        conf.mode = "train"   # all networks (G+D) exist -> full import
+    model = build_gan(conf)
+    model.init_networks()
+    import_torch_checkpoint(checkpoint_path, model,
+                            example_batch=_synthetic_example_batch(conf, model))
+
+    if iter_idx is None:
+        stem = _P(str(checkpoint_path)).stem
+        iter_idx = int(stem) if stem.isdigit() else 0
+
+    path = (model._checkpoint_dir() / str(iter_idx)).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "params": model.state.params,
+            "step": model.state.step + iter_idx,
+            "rng": jax.random.key_data(model.state.rng),
+        }, force=True)
+    logger.info(f"Converted {checkpoint_path} -> {path}")
+    return str(path)

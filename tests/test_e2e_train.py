@@ -117,3 +117,29 @@ def test_deployment_mode_infer(experiment):
     x = np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
     out = inferer.infer(x)
     assert np.asarray(out).shape == (1, 32, 32, 3)
+
+
+def test_tester_engine_runs_from_checkpoint(experiment):
+    """`ganslate test` path: Tester engine loads the checkpoint, runs the
+    paired metric suite over the dataset, and writes the per-sample CSV."""
+    from ganslate_tpu.engines.validator_tester import Tester
+
+    conf, output_dir = experiment
+    dataset = conf.infer.dataset.to_container()
+    dataset["_target_"] = "ganslate.data.PairedImageDataset"
+    raw_test = {
+        "checkpointing": {"load_iter": 4},
+        "dataset": dataset,
+        "metrics": {"ssim": True, "psnr": True, "save_to_csv": True},
+    }
+    test_conf = init_config(
+        Conf.create({"train": conf.train.to_container(resolve=False),
+                     "test": raw_test}),
+        config_class=Config)
+
+    tester = Tester(test_conf)
+    tester.run()
+    csvs = list((output_dir / "test").rglob("metrics.csv"))
+    assert csvs, "tester did not write the metrics CSV"
+    text = csvs[0].read_text()
+    assert "ssim" in text.lower() and "psnr" in text.lower()

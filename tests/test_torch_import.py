@@ -256,3 +256,84 @@ def test_multiscale_patchgan3d_forward_parity():
     for scale in y_torch:
         np.testing.assert_allclose(y_torch[scale], np.asarray(y_flax[scale]),
                                    atol=5e-4, rtol=1e-4)
+
+
+def test_metric_level_fidelity_parity(tmp_path):
+    """The north-star closure: SSIM/PSNR/MAE computed by OUR metric suite on
+    outputs of an imported checkpoint equal the same metrics computed on the
+    reference torch network's outputs (within fp32 forward noise)."""
+    from ganslate_tpu.utils.metrics import val_test_metrics as m
+
+    t = REF["Resnet2D"](3, 3, "instance", n_residual_blocks=1)
+    from ganslate_tpu.nn.generators import Resnet2D
+    f = Resnet2D(in_channels=3, out_channels=3, n_residual_blocks=1)
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+    target = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+
+    t.eval()
+    with torch.no_grad():
+        y_torch = _to_numpy(t(_to_torch(x)))
+    spec = flax_param_spec(f, jax.ShapeDtypeStruct(x.shape, jnp.float32))
+    params = convert_state_dict(t.state_dict(), spec)
+    y_flax = np.asarray(jax.jit(
+        lambda p, x: f.apply({"params": p}, x))(params, jnp.asarray(x)))
+
+    for fn in (m.ssim, m.psnr, m.mae, m.nmse):
+        per_sample_torch = [fn(g, p) for g, p in zip(target, y_torch)]
+        per_sample_flax = [fn(g, p) for g, p in zip(target, y_flax)]
+        np.testing.assert_allclose(per_sample_torch, per_sample_flax,
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_convert_checkpoint_to_native_and_resume(tmp_path):
+    """The migration path: `import-torch-checkpoint` converts a reference
+    .pth into a native orbax checkpoint; a fresh training run loads it via
+    checkpointing.load_iter (optimizers start fresh), produces torch-equal
+    inference, and can take a train step."""
+    from ganslate_tpu.utils.builders import build_gan
+    from ganslate_tpu.utils.testing import make_cyclegan_conf
+    from ganslate_tpu.utils.torch_import import convert_checkpoint_to_native
+
+    nets = {
+        "G_AB": REF["Resnet2D"](3, 3, "instance", n_residual_blocks=1),
+        "G_BA": REF["Resnet2D"](3, 3, "instance", n_residual_blocks=1),
+        "D_B": REF["PatchGAN2D"](3, 8, 2, (4, 4), "instance"),
+        "D_A": REF["PatchGAN2D"](3, 8, 2, (4, 4), "instance"),
+    }
+    checkpoint = {name: net.state_dict() for name, net in nets.items()}
+    pth = tmp_path / "20000.pth"
+    torch.save(checkpoint, pth)
+
+    conf = make_cyclegan_conf(output_dir=str(tmp_path), batch_size=8,
+                              image_size=32, channels=3, n_residual_blocks=1,
+                              ngf=64, ndf=8, n_layers_D=2,
+                              mixed_precision=False, n_iters=30000)
+    written = convert_checkpoint_to_native(pth, conf, iter_idx=None)
+    assert written.endswith("checkpoints/20000")
+
+    # Fresh training model resumes from the converted checkpoint.
+    conf2 = make_cyclegan_conf(output_dir=str(tmp_path), batch_size=8,
+                               image_size=32, channels=3, n_residual_blocks=1,
+                               ngf=64, ndf=8, n_layers_D=2,
+                               mixed_precision=False, n_iters=30000)
+    conf2.train.checkpointing.load_iter = 20000
+    conf2.train.checkpointing.load_optimizers = True  # must degrade gracefully
+
+    rng = np.random.default_rng(2)
+    batch = {"A": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+             "B": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)}
+    model = build_gan(conf2)
+    model.setup(example_batch=batch)
+    assert int(model.state.step) == 20000
+
+    out = np.asarray(model.infer(jnp.asarray(batch["A"])))
+    nets["G_AB"].eval()
+    with torch.no_grad():
+        ref = _to_numpy(nets["G_AB"](_to_torch(batch["A"])))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+    model.set_input(batch)
+    model.optimize_parameters(sync=True)
+    assert all(np.isfinite(float(v)) for v in model.losses.values())
