@@ -12,4 +12,5 @@ class InferenceConfig(base.BaseEngineConfig):
     is_deployment: bool = False
     dataset: Optional[base.BaseDatasetConfig] = None
     sliding_window: Optional[validation_testing.SlidingWindowConfig] = None
+    spatial_sharding: Optional[validation_testing.SpatialShardingConfig] = None
     checkpointing: base.CheckpointingConfig = field(default_factory=base.CheckpointingConfig)

@@ -19,6 +19,25 @@ class SlidingWindowConfig:
     mode: str = 'gaussian'
 
 
+@dataclass
+class SpatialShardingConfig:
+    """Full-volume inference sharded ACROSS the mesh (halo-exchange conv
+    parallelism; see parallel/spatial.py) — the TPU-native alternative to
+    sliding windows when the whole volume fits when split over chips.
+    Beyond-reference capability.
+
+    Semantics: convolutions are exact given a sufficient halo; normalization
+    statistics (instance norm) are computed per shard (+halo) rather than
+    over the full volume — negligible on large volumes, and exact for
+    norm-free networks."""
+    # Input-slice overlap exchanged between neighboring shards; must cover
+    # the network's receptive-field half-width for exact outputs.
+    halo: int = 8
+    # Spatial dimension to shard, 0-based over the spatial axes
+    # (0 = depth for NDHWC volumes, 0 = height for NHWC images).
+    dim: int = 0
+
+
 # -------------------------------------------------------------------- metrics
 
 
@@ -55,6 +74,7 @@ class TestMetricsConfig(BaseValTestMetricsConfig):
 @dataclass
 class BaseValTestConfig(base.BaseEngineConfig):
     sliding_window: Optional[SlidingWindowConfig] = None
+    spatial_sharding: Optional[SpatialShardingConfig] = None
     dataset: Optional[base.BaseDatasetConfig] = None
     # Val/test can run over multiple named datasets.
     multi_dataset: Optional[Dict[str, base.BaseDatasetConfig]] = None

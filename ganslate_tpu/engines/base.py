@@ -37,13 +37,29 @@ class BaseEngineWithInference(BaseEngine):
     def __init__(self, conf):
         super().__init__(conf)
         self.sliding_window_inferer = self._init_sliding_window_inferer()
+        mode_conf = self.conf[self.conf.mode]
+        self.spatial_sharding = mode_conf.spatial_sharding \
+            if "spatial_sharding" in mode_conf else None
+        assert not (self.sliding_window_inferer and self.spatial_sharding), \
+            "Use either sliding_window or spatial_sharding, not both."
 
     def infer(self, data, *args, **kwargs):
-        from ganslate_tpu.parallel import shard_batch
-        data = shard_batch({"x": data})["x"]
+        from ganslate_tpu.parallel import get_mesh, shard_batch
         if self.sliding_window_inferer:
+            data = shard_batch({"x": data})["x"]
             fn, params = self.model.get_pure_infer(*args, **kwargs)
             return self.sliding_window_inferer(data, fn, params)
+        if self.spatial_sharding and get_mesh().devices.size > 1:
+            # Full-volume inference sharded over the mesh with halo exchange
+            # (config: spatial_sharding.{halo,dim}; parallel/spatial.py).
+            from ganslate_tpu.parallel.spatial import spatially_sharded_infer
+            import jax.numpy as jnp
+            fn, params = self.model.get_pure_infer(*args, **kwargs)
+            return spatially_sharded_infer(
+                fn, params, jnp.asarray(data), get_mesh(),
+                halo=self.spatial_sharding.halo,
+                dim=self.spatial_sharding.dim + 1)  # +1: batch dim first
+        data = shard_batch({"x": data})["x"]
         return self.model.infer(data, *args, **kwargs)
 
     def _init_sliding_window_inferer(self):

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ganslate_tpu.parallel import get_mesh, replicated_sharding, shard_batch
+from ganslate_tpu.parallel import get_mesh, replicate_to_mesh, shard_batch
 from ganslate_tpu.utils import communication
 from ganslate_tpu.utils.metrics.train_metrics import TrainingMetrics
 
@@ -228,8 +228,8 @@ class BaseGAN(ABC):
             pools=pools,
             rng=state_key,
         )
-        # Replicate state across the mesh.
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        # Replicate state across the mesh (multi-controller safe).
+        return replicate_to_mesh(state, self.mesh)
 
     def _dummy_input(self, name: str, batch_spec) -> jax.Array:
         """Zeros with the right shape to initialize network `name`.

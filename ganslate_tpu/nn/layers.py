@@ -217,15 +217,24 @@ class BatchNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class IdentityNorm(nn.Module):
+    """`norm_type='none'`: a pass-through that slots anywhere a norm module
+    is constructed (networks call `norm()(h)` unconditionally)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return x
+
+
 def get_norm_layer(norm_type: str = "instance"):
     """Factory mapping config `norm_type` to a module constructor
-    (reference parity: nn/utils.py:53-68). Returns None for 'none'."""
+    (reference parity: nn/utils.py:53-68)."""
     if norm_type == "instance":
         return InstanceNorm
     if norm_type == "batch":
         return BatchNorm
     if norm_type in ("none", None):
-        return None
+        return IdentityNorm
     raise NotImplementedError(f"Normalization layer `{norm_type}` not supported")
 
 

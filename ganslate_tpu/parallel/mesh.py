@@ -71,6 +71,36 @@ def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_to_mesh(tree, mesh: Optional[Mesh] = None):
+    """Replicate a pytree onto every device of the mesh.
+
+    Single-controller: a plain device_put. Multi-controller (pods): the mesh
+    spans non-addressable devices, where device_put is rejected — each
+    process contributes its identical host-local copy via
+    `host_local_array_to_global_array` (values ARE identical across
+    processes: init seeds are shared, checkpoint restores are global).
+    PRNG key arrays round-trip through key_data (extended dtypes are not
+    accepted by the multihost utils)."""
+    mesh = mesh or get_mesh()
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec
+
+    def place(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
+                                                         jax.dtypes.prng_key):
+            data = multihost_utils.host_local_array_to_global_array(
+                np.asarray(jax.random.key_data(x)), mesh, PartitionSpec())
+            return jax.random.wrap_key_data(data)
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, PartitionSpec())
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def shard_batch(batch, mesh: Optional[Mesh] = None):
     """Place a host batch (pytree of numpy arrays) onto the mesh, sharded on
     dim 0 across ``data``. In a multi-controller job every process passes its
@@ -78,6 +108,11 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     the global array is assembled from per-process shards over ICI/DCN."""
     mesh = mesh or get_mesh()
     n = mesh.devices.size
+    # Each process holds 1/process_count of the global batch, so the
+    # divisibility check is against the LOCAL device count — checking the
+    # local share against the GLOBAL device count would silently replicate
+    # each process's half as if it were the whole batch.
+    n_local = max(1, n // jax.process_count())
     sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
 
@@ -85,9 +120,11 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
         x = np.asarray(x) if not hasattr(x, "sharding") else x
         # Batches that don't divide the data axis (e.g. single-sample
         # deployment inference) are replicated instead of sharded.
-        sharding = sharded if (np.ndim(x) > 0 and x.shape[0] % n == 0) else replicated
-        if jax.process_count() > 1 and sharding is sharded:
-            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        sharding = sharded if (np.ndim(x) > 0 and x.shape[0] % n_local == 0) else replicated
+        if jax.process_count() > 1:
+            if sharding is sharded:
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            return replicate_to_mesh(x, mesh)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(place, batch)

@@ -101,8 +101,13 @@ def spatially_sharded_infer(network_fn: Callable, params, x: jax.Array,
     n_dev = mesh.devices.size
     assert x.shape[dim] % n_dev == 0, \
         f"dim {dim} of size {x.shape[dim]} must divide across {n_dev} devices"
+    shard_size = x.shape[dim] // n_dev
+    assert halo <= shard_size, \
+        (f"halo {halo} exceeds the per-device shard size {shard_size} "
+         f"(dim {dim} of {x.shape[dim]} over {n_dev} devices) — the halo "
+         f"exchange only reaches immediate neighbors")
 
-    def worker(x_local):
+    def worker(params, x_local):
         xh = halo_exchange(x_local, halo, axis, dim)
         y = network_fn(params, xh)
         # Crop the halo back off (first/last shards received zero halos).
@@ -110,8 +115,10 @@ def spatially_sharded_infer(network_fn: Callable, params, x: jax.Array,
 
     spec = [None] * x.ndim
     spec[dim] = axis
+    # Params ride as an explicit replicated input — closing over arrays that
+    # already carry a mesh sharding trips shard_map's sharding checks.
     sharded = shard_map(worker, mesh=mesh,
-                        in_specs=P(*spec), out_specs=P(*spec),
+                        in_specs=(P(), P(*spec)), out_specs=P(*spec),
                         check_rep=False)
     x = jax.device_put(x, NamedSharding(mesh, P(*spec)))
-    return sharded(x)
+    return sharded(params, x)

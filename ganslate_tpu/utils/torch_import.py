@@ -339,7 +339,7 @@ def import_torch_checkpoint(path, model, example_batch: Dict[str, Any]):
     import jax.numpy as jnp
 
     from ganslate_tpu.nn.gans.base import GANState
-    from ganslate_tpu.parallel import replicated_sharding
+    from ganslate_tpu.parallel import replicate_to_mesh
 
     checkpoint = load_torch_checkpoint(path)
     if not any(model.networks.values()):
@@ -358,7 +358,7 @@ def import_torch_checkpoint(path, model, example_batch: Dict[str, Any]):
         params[name] = convert_state_dict(checkpoint[name], spec)
         logger.info(f"Imported torch weights for network {name}.")
 
-    params = jax.device_put(params, replicated_sharding(model.mesh))
+    params = replicate_to_mesh(params, model.mesh)
     if model.state is None:
         model.state = GANState(step=jnp.zeros((), jnp.int32), params=params,
                                opt_state={}, pools={}, rng=jax.random.key(0))

@@ -1,0 +1,96 @@
+"""Multi-controller (multi-host) data parallelism test: two REAL processes
+form one JAX distributed job (2 procs x 4 virtual CPU devices = 8-device
+global mesh), each feeding its LOCAL shard of the global batch; the CycleGAN
+train step runs over the global mesh and both controllers must agree on the
+losses. Exercises `parallel.mesh.shard_batch`'s
+`make_array_from_process_local_data` branch — the DCN-spanning pod path that
+single-process tests can never reach."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import sys
+import numpy as np
+import jax
+
+coordinator, process_id = sys.argv[1], int(sys.argv[2])
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coordinator, num_processes=2,
+                           process_id=process_id)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+from ganslate_tpu.utils.builders import build_gan
+from ganslate_tpu.utils.testing import make_cyclegan_conf
+
+conf = make_cyclegan_conf(batch_size=8, image_size=32, channels=1,
+                          n_residual_blocks=1, ngf=8, ndf=8, n_layers_D=1,
+                          pool_size=4, mixed_precision=False)
+
+# The GLOBAL batch is 8 samples; each process holds its local half (the
+# loaders shard by process index the same way).
+rng = np.random.default_rng(0)
+global_batch = {
+    "A": rng.uniform(-1, 1, (8, 32, 32, 1)).astype(np.float32),
+    "B": rng.uniform(-1, 1, (8, 32, 32, 1)).astype(np.float32),
+}
+local = slice(process_id * 4, (process_id + 1) * 4)
+local_batch = {k: v[local] for k, v in global_batch.items()}
+
+model = build_gan(conf)
+model.setup(example_batch=local_batch)
+model.set_input(local_batch)
+model.optimize_parameters(sync=True)
+
+losses = {k: round(float(jax.device_get(v)), 6)
+          for k, v in sorted(model.losses.items())}
+print(f"LOSSES {losses}", flush=True)
+print("CHILD_OK", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel_train_step(tmp_path):
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    # Override the session's 8-device setting: 4 local devices per process.
+    flags = " ".join(f for f in flags.split()
+                     if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = []
+    logs = []
+    for pid in (0, 1):
+        log = open(tmp_path / f"proc{pid}.log", "w")
+        logs.append(tmp_path / f"proc{pid}.log")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-u", "-c", _CHILD, coordinator, str(pid)],
+            cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT))
+
+    rcs = [p.wait(timeout=420) for p in procs]
+    texts = [p.read_text() for p in logs]
+    for rc, text in zip(rcs, texts):
+        assert rc == 0, f"child failed (rc={rc}):\n{text[-3000:]}"
+        assert "CHILD_OK" in text
+
+    # Both controllers computed the SAME global losses (the gradient psum
+    # spans both processes' shards).
+    loss_lines = [next(l for l in t.splitlines() if l.startswith("LOSSES"))
+                  for t in texts]
+    assert loss_lines[0] == loss_lines[1], loss_lines
