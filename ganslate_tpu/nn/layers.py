@@ -68,6 +68,14 @@ class Conv(nn.Module):
     ``pad_mode`` in {'zeros','reflect','replicate'} folds the reference's
     ReflectionPad2d / ReplicationPad3d pre-padding layers into the conv.
     Spatial rank = len(kernel_size).
+
+    ``s2d_factor`` > 1 enables the EXACT space-to-depth fast path for
+    stride-1 2D convs (ops/s2d_conv.py): large-kernel small-channel convs
+    (CycleGAN's c7s1 boundary layers) fold an r x r block into channels,
+    cutting the im2col traffic ~ (k/ceil(k/r))^2-fold. The kernel parameter
+    stays in canonical (kh, kw, C, O) layout — checkpoints and the torch
+    importer are unaffected; falls back to the plain conv whenever the
+    geometry does not divide.
     """
     features: int
     kernel_size: Sequence[int]
@@ -77,26 +85,45 @@ class Conv(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+    s2d_factor: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         n = len(self.kernel_size)
+        k = tuple(self.kernel_size)
         pad = _to_tuple(self.padding, n)
+        strides = _to_tuple(self.strides, n)
+
+        in_features = x.shape[-1] // self.feature_group_count
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        kernel = kernel.astype(x.dtype)
+
         if self.pad_mode == "zeros":
             lax_padding = [(p, p) for p in pad]
         else:
             x = pad_spatial(x, pad, self.pad_mode)
             lax_padding = [(0, 0)] * n
-        return nn.Conv(
-            features=self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=_to_tuple(self.strides, n),
-            padding=lax_padding,
-            use_bias=self.use_bias,
+
+        if self.s2d_factor > 1 and n == 2 and self.feature_group_count == 1:
+            from ganslate_tpu.ops.s2d_conv import s2d_applicable, s2d_conv
+            xp = pad_spatial(x, [p for p, _ in lax_padding], "zeros") \
+                if any(p for p, _ in lax_padding) else x
+            if s2d_applicable(xp.shape[1:-1], k, strides, self.s2d_factor):
+                y = s2d_conv(xp, kernel, self.s2d_factor)
+                return y + bias.astype(y.dtype) if bias is not None else y
+
+        spatial = "".join("DHW"[3 - n:][i] for i in range(n))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape,
+            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, strides, lax_padding,
             feature_group_count=self.feature_group_count,
-            kernel_init=self.kernel_init,
-            name="conv",
-        )(x)
+            dimension_numbers=dn)
+        return y + bias.astype(y.dtype) if bias is not None else y
 
 
 class ConvTranspose(nn.Module):

@@ -85,5 +85,5 @@ def test_tanh_output_and_weight_init():
     params = jax.jit(model.init)(jax.random.key(0), x)["params"]
     y = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, x)
     assert np.all(np.abs(np.asarray(y)) <= 1.0)
-    std = float(np.std(np.asarray(params["down0"]["conv"]["kernel"])))
+    std = float(np.std(np.asarray(params["down0"]["kernel"])))
     assert 0.01 < std < 0.03  # normal(0, 0.02)

@@ -74,8 +74,8 @@ def test_separable_convs():
     y = jax.jit(lambda p, x: conv.apply({"params": p}, x))(params, x)
     assert y.shape == (1, 4, 8, 8, 8)
     # factorized kernels: (1,5,5) + (5,1,1)
-    assert params["depthwise"]["conv"]["kernel"].shape == (1, 5, 5, 2, 8)
-    assert params["pointwise"]["conv"]["kernel"].shape == (5, 1, 1, 8, 8)
+    assert params["depthwise"]["kernel"].shape == (1, 5, 5, 2, 8)
+    assert params["pointwise"]["kernel"].shape == (5, 1, 1, 8, 8)
 
     convt = SeparableConvTranspose3d(features=4, kernel_size=2, strides=2)
     params_t = jax.jit(convt.init)(jax.random.key(0), y)["params"]
