@@ -115,7 +115,7 @@ class Conv(nn.Module):
                 y = s2d_conv(xp, kernel, self.s2d_factor)
                 return y + bias.astype(y.dtype) if bias is not None else y
 
-        spatial = "".join("DHW"[3 - n:][i] for i in range(n))
+        spatial = "DHW"[3 - n:]
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape,
             (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
@@ -151,10 +151,10 @@ class ConvTranspose(nn.Module):
         op = _to_tuple(self.output_padding, n)
 
         in_features = x.shape[-1]
-        kernel = self.param("kernel", self.kernel_init, (*k, in_features, self.features),
-                            x.dtype)
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, in_features, self.features), jnp.float32)
         pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(n)]
-        spatial = "".join("DHW"[3 - n:][i] for i in range(n))
+        spatial = "DHW"[3 - n:]
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape,
             (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
@@ -167,7 +167,8 @@ class ConvTranspose(nn.Module):
             dimension_numbers=dn,
         )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
             y = y + bias.astype(y.dtype)
         return y
 

@@ -57,6 +57,7 @@ def _gather_plan(kh: int, kw: int, r: int) -> Tuple[np.ndarray, np.ndarray, int]
 def transform_kernel(kernel: jax.Array, r: int) -> jax.Array:
     """(kh, kw, C, O) -> (ka, ka, r*r*C, r*r*O) transformed conv kernel."""
     kh, kw, c_in, c_out = kernel.shape
+    assert kh == kw, f"square kernels only, got ({kh}, {kw})"
     u, valid, ka = _gather_plan(kh, kw, r)
     u = jnp.asarray(u)
     mask = jnp.asarray(valid)
@@ -92,6 +93,8 @@ def s2d_conv(x_padded: jax.Array, kernel: jax.Array, r: int) -> jax.Array:
     x_padded: (N, Hp, Wp, C); output: (N, Hp-kh+1, Wp-kw+1, O)."""
     n, hp, wp, c = x_padded.shape
     kh = kernel.shape[0]
+    assert kernel.shape[1] == kh, \
+        f"square kernels only, got {kernel.shape[:2]}"
     out_h, out_w = hp - kh + 1, wp - kh + 1
     _, _, ka = _gather_plan(kh, kh, r)
 

@@ -107,24 +107,38 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     LOCAL share of the global batch (the loader already yields local shares);
     the global array is assembled from per-process shards over ICI/DCN."""
     mesh = mesh or get_mesh()
-    n = mesh.devices.size
-    # Each process holds 1/process_count of the global batch, so the
-    # divisibility check is against the LOCAL device count — checking the
-    # local share against the GLOBAL device count would silently replicate
-    # each process's half as if it were the whole batch.
-    n_local = max(1, n // jax.process_count())
+    # Divisibility is against the DATA axis (not the whole mesh — extra
+    # model/spatial axes replicate the batch), and each process holds
+    # 1/process_count of the global batch, so the check is on the local
+    # share vs the local slice of the data axis.
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+    n_local = max(1, n_data // jax.process_count())
     sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def place(x):
-        x = np.asarray(x) if not hasattr(x, "sharding") else x
+        if hasattr(x, "sharding"):
+            # Already placed (e.g. a global array fed back through infer):
+            # keep it in the multi-process case — np.asarray would fail on
+            # non-addressable shards or mistake global data for local.
+            if multiprocess:
+                return x
+        else:
+            x = np.asarray(x)
         # Batches that don't divide the data axis (e.g. single-sample
         # deployment inference) are replicated instead of sharded.
-        sharding = sharded if (np.ndim(x) > 0 and x.shape[0] % n_local == 0) else replicated
-        if jax.process_count() > 1:
-            if sharding is sharded:
-                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
-            return replicate_to_mesh(x, mesh)
-        return jax.device_put(x, sharding)
+        divisible = np.ndim(x) > 0 and x.shape[0] % n_local == 0
+        if multiprocess:
+            if divisible:
+                return jax.make_array_from_process_local_data(sharded, x)
+            # Replicating would broadcast each process's DIFFERENT local
+            # share as if identical — silent cross-host divergence.
+            raise ValueError(
+                f"multi-process batch dim {x.shape[0]} does not divide the "
+                f"per-process device count {n_local}; make local batches a "
+                f"multiple of it, or replicate identical data explicitly "
+                f"with replicate_to_mesh")
+        return jax.device_put(x, sharded if divisible else replicated)
 
     return jax.tree_util.tree_map(place, batch)

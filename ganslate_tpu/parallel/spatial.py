@@ -81,7 +81,7 @@ def sharded_conv(x: jax.Array, kernel: jax.Array, axis_name: str,
         else:
             pads.append((k[i] // 2, (k[i] - 1) // 2))
 
-    spatial = "".join("DHW"[3 - rank:][i] for i in range(rank))
+    spatial = "DHW"[3 - rank:]
     dn = jax.lax.conv_dimension_numbers(
         xh.shape, kernel.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
     return jax.lax.conv_general_dilated(xh, kernel, (1,) * rank, pads,
