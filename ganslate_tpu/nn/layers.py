@@ -107,7 +107,7 @@ class Conv(nn.Module):
             x = pad_spatial(x, pad, self.pad_mode)
             lax_padding = [(0, 0)] * n
 
-        if self.s2d_factor > 1 and n == 2 and self.feature_group_count == 1:
+        if self.s2d_factor > 1 and self.feature_group_count == 1:
             from ganslate_tpu.ops.s2d_conv import s2d_applicable, s2d_conv
             xp = pad_spatial(x, [p for p, _ in lax_padding], "zeros") \
                 if any(p for p, _ in lax_padding) else x
@@ -131,8 +131,14 @@ class ConvTranspose(nn.Module):
 
         out = (in - 1) * stride - 2 * padding + kernel + output_padding
 
-    Implemented directly via `lax.conv_general_dilated` with input dilation,
-    which XLA lowers onto the MXU as a regular convolution.
+    Two exact implementations share the same canonical (k..., C, O) kernel
+    parameter (checkpoints/torch-importer agnostic):
+
+    - ``polyphase=True`` (default for strided cases): sub-pixel
+      decomposition — one dense conv producing all s^n output phases in the
+      channel dim + depth-to-space (ops/polyphase_transpose.py). MAC-optimal:
+      avoids the (s^n-1)/s^n structural-zero MACs of the dilated form.
+    - ``polyphase=False``: `lax.conv_general_dilated` with input dilation.
     """
     features: int
     kernel_size: Sequence[int]
@@ -141,6 +147,7 @@ class ConvTranspose(nn.Module):
     output_padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+    polyphase: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -153,19 +160,24 @@ class ConvTranspose(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_features, self.features), jnp.float32)
-        pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(n)]
-        spatial = "DHW"[3 - n:]
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape,
-            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype),
-            window_strides=(1,) * n,
-            padding=pads,
-            lhs_dilation=s,
-            rhs_dilation=(1,) * n,
-            dimension_numbers=dn,
-        )
+        if self.polyphase and any(si > 1 for si in s):
+            from ganslate_tpu.ops.polyphase_transpose import (
+                polyphase_conv_transpose)
+            y = polyphase_conv_transpose(x, kernel.astype(x.dtype), s, p, op)
+        else:
+            pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(n)]
+            spatial = "DHW"[3 - n:]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape,
+                (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype),
+                window_strides=(1,) * n,
+                padding=pads,
+                lhs_dilation=s,
+                rhs_dilation=(1,) * n,
+                dimension_numbers=dn,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)

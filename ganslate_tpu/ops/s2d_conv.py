@@ -1,21 +1,30 @@
-"""Space-to-depth (S2D) reformulation of large-kernel stride-1 2D convs.
+"""Space-to-depth (S2D) reformulation of stride-1 convolutions, rank-generic.
 
-CycleGAN's boundary convs (c7s1 with 3-64 channels at 256x256,
-/root/reference/ganslate/nn/generators/resnet/resnet2d.py:23-26,65) run at
-<5% MXU efficiency on TPU: the im2col patch traffic is 49x the input and the
-tiny channel counts waste lanes. Folding an r x r spatial block into
-channels turns the k7 conv into an EXACT k-ceil((7+r-1)/r) conv over r^2-fold
-wider channels on an r-fold smaller grid — e.g. r=4: k3 conv, 16x channels,
-16x fewer pixels; measured 6.4 ms -> ~1.5 ms for the 64->3 final conv
-(bf16, batch 16, v5e).
+Two distinct TPU inefficiencies motivate it:
 
-The transform is a pure function of the CANONICAL (kh, kw, C, O) kernel, so
+- Large-kernel small-channel 2D convs (CycleGAN's c7s1 boundary layers with
+  3-64 channels at 256x256,
+  /root/reference/ganslate/nn/generators/resnet/resnet2d.py:23-26,65) run at
+  <5% MXU efficiency: the im2col patch traffic is 49x the input and the tiny
+  channel counts waste lanes.
+- Small-channel 3D convs (V-Net's flc=16 top level,
+  /root/reference/ganslate/nn/generators/vnet/vnet3d.py:151-202) waste
+  112/128 MXU output lanes: with NDHWC the output-channel count maps to
+  lanes, so C_out=16 uses 12.5% of the systolic array.
+
+Folding an r^n spatial block into channels turns a k^n conv into an EXACT
+ceil((k+r-1)/r)^n conv over r^n-fold wider channels on an r-fold smaller
+grid — e.g. 2D r=4: k7 -> k2(+pad)=k3, 16x channels; 3D r=2: k5 -> k3,
+8x channels (C 16 -> 128 fills the lanes at 1.73x the MACs, a net win
+whenever the conv is MXU-lane-bound).
+
+The transform is a pure function of the CANONICAL (k..., C, O) kernel, so
 parameters, checkpoints, and the torch importer are untouched; gradients
 flow through the (static) kernel rearrangement.
 """
 
 from functools import lru_cache
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -24,97 +33,126 @@ import jax.numpy as jnp
 
 
 def space_to_depth(x: jax.Array, r: int) -> jax.Array:
-    """(N, H, W, C) -> (N, H/r, W/r, r*r*C); channel index = (dh*r+dw)*C+c."""
-    n, h, w, c = x.shape
-    x = x.reshape(n, h // r, r, w // r, r, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, h // r, w // r, r * r * c)
+    """(N, *spatial, C) -> (N, *spatial/r, r^n * C); channel index =
+    (d1, ..., dn, c) in row-major order."""
+    n = x.ndim - 2
+    c = x.shape[-1]
+    shape = [x.shape[0]]
+    for i in range(n):
+        shape += [x.shape[1 + i] // r, r]
+    shape.append(c)
+    x = x.reshape(shape)
+    # (N, s1, d1, s2, d2, ..., C) -> (N, s1, s2, ..., d1, d2, ..., C)
+    perm = [0] + [1 + 2 * i for i in range(n)] + [2 + 2 * i for i in range(n)] \
+        + [1 + 2 * n]
+    x = x.transpose(perm)
+    return x.reshape(x.shape[0], *x.shape[1:n + 1], (r ** n) * c)
 
 
 def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     """Inverse of `space_to_depth`."""
-    n, h, w, rc = x.shape
-    c = rc // (r * r)
-    x = x.reshape(n, h, w, r, r, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, h * r, w * r, c)
+    n = x.ndim - 2
+    c = x.shape[-1] // (r ** n)
+    x = x.reshape(x.shape[0], *x.shape[1:n + 1], *([r] * n), c)
+    perm = [0]
+    for i in range(n):
+        perm += [1 + i, 1 + n + i]
+    perm.append(1 + 2 * n)
+    x = x.transpose(perm)
+    return x.reshape(x.shape[0],
+                     *[x.shape[1 + 2 * i] * r for i in range(n)], c)
 
 
 @lru_cache(maxsize=None)
-def _gather_plan(kh: int, kw: int, r: int) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Index/mask arrays mapping W[u, v, c, o] onto the transformed kernel
-    K'[a, b, (dh, dw, c), (ph, pw, o)] = W[r*a + dh - ph, r*b + dw - pw, ...]
+def _gather_plan(k: int, r: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Index/mask arrays mapping W[u, ...] onto the transformed kernel
+    K'[a, (d, c), (p, o)] = W[r*a + d - p, ...] per spatial dim
     (zero where the index falls outside the original kernel support)."""
-    ka = -(-(kh + r - 1) // r)  # transformed kernel extent
+    ka = -(-(k + r - 1) // r)               # transformed kernel extent
     a = np.arange(ka)[:, None, None]
     d = np.arange(r)[None, :, None]
     p = np.arange(r)[None, None, :]
     u = r * a + d - p                       # (ka, r, r)
-    valid = (u >= 0) & (u < kh)
-    return np.clip(u, 0, kh - 1), valid, ka
+    valid = (u >= 0) & (u < k)
+    return np.clip(u, 0, k - 1), valid, ka
 
 
 def transform_kernel(kernel: jax.Array, r: int) -> jax.Array:
-    """(kh, kw, C, O) -> (ka, ka, r*r*C, r*r*O) transformed conv kernel."""
-    kh, kw, c_in, c_out = kernel.shape
-    assert kh == kw, f"square kernels only, got ({kh}, {kw})"
-    u, valid, ka = _gather_plan(kh, kw, r)
-    u = jnp.asarray(u)
-    mask = jnp.asarray(valid)
+    """(k1..kn, C, O) -> (ka1..kan, r^n * C, r^n * O) transformed kernel.
+    Input-channel index = (d1..dn, c); output-channel index = (p1..pn, o),
+    both matching `space_to_depth` / `depth_to_space` order."""
+    n = kernel.ndim - 2
+    ks = kernel.shape[:n]
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
 
-    # K'[a, dh, ph, b, dw, pw, c, o] = W[u[a,dh,ph], u[b,dw,pw], c, o] * masks
-    k = kernel[u][:, :, :, u]               # (ka, r, r, ka, r, r, C, O)
-    m = (mask[:, :, :, None, None, None] &
-         mask[None, None, None, :, :, :]).astype(kernel.dtype)
-    k = k * m[..., None, None]
-    # -> (ka, ka, (dh, dw, c), (ph, pw, o))
-    k = k.transpose(0, 3, 1, 4, 6, 2, 5, 7)
-    return k.reshape(ka, ka, r * r * c_in, r * r * c_out)
+    k = kernel
+    for i in range(n):
+        u, valid, _ = _gather_plan(ks[i], r)
+        # axis layout so far: (a1, d1, p1, ..., a_{i-1}, d_{i-1}, p_{i-1},
+        #                      k_i, ..., C, O)
+        ax = 3 * i
+        k = jnp.take(k, jnp.asarray(u.reshape(-1)), axis=ax)
+        k = k.reshape(k.shape[:ax] + u.shape + k.shape[ax + 1:])
+        mshape = [1] * k.ndim
+        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
+        k = k * jnp.asarray(valid.reshape(mshape), k.dtype)
+
+    # (a1, d1, p1, ..., an, dn, pn, C, O) -> (a1..an, d1..dn, C, p1..pn, O)
+    perm = ([3 * i for i in range(n)] + [3 * i + 1 for i in range(n)] +
+            [3 * n] + [3 * i + 2 for i in range(n)] + [3 * n + 1])
+    k = k.transpose(perm)
+    kas = k.shape[:n]
+    return k.reshape(*kas, (r ** n) * c_in, (r ** n) * c_out)
 
 
 def s2d_applicable(padded_spatial: Tuple[int, ...], kernel_shape, strides,
                    r: int) -> bool:
-    """The fast path serves stride-1 square 2D convs whose VALID output grid
-    divides by r (output = padded - k + 1)."""
-    if len(padded_spatial) != 2 or r <= 1:
+    """The fast path serves stride-1 square/cubic convs whose VALID output
+    grid divides by r (output = padded - k + 1)."""
+    if r <= 1 or len(padded_spatial) not in (1, 2, 3):
         return False
-    kh, kw = kernel_shape[0], kernel_shape[1]
-    if kh != kw or any(s != 1 for s in strides):
+    k0 = kernel_shape[0]
+    if any(kernel_shape[i] != k0 for i in range(len(padded_spatial))):
         return False
-    out_h = padded_spatial[0] - kh + 1
-    out_w = padded_spatial[1] - kw + 1
-    return out_h > 0 and out_w > 0 and out_h % r == 0 and out_w % r == 0
+    if any(s != 1 for s in strides):
+        return False
+    outs = [padded_spatial[i] - k0 + 1 for i in range(len(padded_spatial))]
+    return all(o > 0 and o % r == 0 for o in outs)
 
 
 def s2d_conv(x_padded: jax.Array, kernel: jax.Array, r: int) -> jax.Array:
-    """VALID stride-1 conv of a (pre-padded) NHWC input with an NHWC-layout
-    kernel (kh, kw, C, O), computed in space-to-depth form. Exact.
+    """VALID stride-1 conv of a (pre-padded) channels-last input with a
+    canonical-layout kernel (k1..kn, C, O), computed in space-to-depth form.
+    Exact.
 
-    x_padded: (N, Hp, Wp, C); output: (N, Hp-kh+1, Wp-kw+1, O)."""
-    n, hp, wp, c = x_padded.shape
-    kh = kernel.shape[0]
-    assert kernel.shape[1] == kh, \
-        f"square kernels only, got {kernel.shape[:2]}"
-    out_h, out_w = hp - kh + 1, wp - kh + 1
-    _, _, ka = _gather_plan(kh, kh, r)
+    x_padded: (N, *padded, C); output: (N, *(padded - k + 1), O)."""
+    n = x_padded.ndim - 2
+    sp = x_padded.shape[1:-1]
+    ks = kernel.shape[:n]
+    k0 = ks[0]
+    assert all(ki == k0 for ki in ks), f"cubic kernels only, got {ks}"
+    outs = [sp[i] - ks[i] + 1 for i in range(n)]
+    _, _, ka = _gather_plan(k0, r)
 
     # Align the transformed grid to the padded input's origin; extend on the
-    # bottom/right so every transformed tap exists (the extension is only
+    # far side so every transformed tap exists (the extension is only
     # touched through structurally-zero kernel entries).
-    need_h = out_h + r * (ka - 1) + r      # last tap block + block size
-    need_w = out_w + r * (ka - 1) + r
-    pad_h = max(0, need_h - hp)
-    pad_w = max(0, need_w - wp)
-    if pad_h or pad_w:
-        x_padded = jnp.pad(x_padded, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    pad_cfg = [(0, 0)]
+    for i in range(n):
+        need = outs[i] + r * (ka - 1) + r   # last tap block + block size
+        need = -(-need // r) * r            # block grid must divide by r
+        pad_cfg.append((0, max(0, need - sp[i])))
+    pad_cfg.append((0, 0))
+    if any(p for _, p in pad_cfg):
+        x_padded = jnp.pad(x_padded, pad_cfg)
 
-    xt = space_to_depth(x_padded, r)        # (N, Hp'/r, Wp'/r, r^2 C)
-    kt = transform_kernel(kernel, r)        # (ka, ka, r^2 C, r^2 O)
+    xt = space_to_depth(x_padded, r)        # (N, *sp/r, r^n C)
+    kt = transform_kernel(kernel, r)        # (ka.., r^n C, r^n O)
 
-    dn = jax.lax.conv_dimension_numbers(xt.shape, kt.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    yt = jax.lax.conv_general_dilated(xt, kt.astype(xt.dtype), (1, 1),
-                                      [(0, 0), (0, 0)],
-                                      dimension_numbers=dn)
+    spatial = "DHW"[3 - n:]
+    dn = jax.lax.conv_dimension_numbers(
+        xt.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    yt = jax.lax.conv_general_dilated(xt, kt.astype(xt.dtype), (1,) * n,
+                                      [(0, 0)] * n, dimension_numbers=dn)
     y = depth_to_space(yt, r)               # (N, ..., O)
-    return y[:, :out_h, :out_w, :]
+    return y[tuple([slice(None)] + [slice(0, o) for o in outs])]
