@@ -28,18 +28,35 @@ from ganslate_tpu.nn.layers import (Conv, ConvTranspose, PReLU, get_norm_layer,
 from ganslate_tpu.nn.separable import SeparableConv3d, SeparableConvTranspose3d
 
 
-def _conv(is_separable, spatial_dims):
+def _apply_norm(norm_type, h, channels, s2d):
+    """Norm dispatch: standard module, or the grouped s2d-space equivalent
+    (exact — stats pool over (spatial, phase) per true channel)."""
+    if s2d > 1:
+        if norm_type in ("none", None):
+            return h
+        assert norm_type == "instance", \
+            f"s2d execution space supports instance/none norms, got {norm_type}"
+        from ganslate_tpu.ops.s2d_space import group_instance_norm
+        return group_instance_norm(h, channels, s2d ** (h.ndim - 2))
+    return get_norm_layer(norm_type)()(h)
+
+
+def _conv(is_separable, spatial_dims, s2d=0):
     if is_separable:
         assert spatial_dims == 3, "separable convs are 3D-only"
+        assert s2d <= 1, "s2d execution space does not support separable convs"
         return lambda feats, k, **kw: SeparableConv3d(feats, k, **kw)
-    return lambda feats, k, **kw: Conv(feats, (k,) * spatial_dims, **kw)
+    return lambda feats, k, **kw: Conv(feats, (k,) * spatial_dims,
+                                       s2d_space=s2d, **kw)
 
 
-def _convt(is_separable, spatial_dims):
+def _convt(is_separable, spatial_dims, s2d=0):
     if is_separable:
         assert spatial_dims == 3, "separable convs are 3D-only"
+        assert s2d <= 1, "s2d execution space does not support separable convs"
         return lambda feats, k, **kw: SeparableConvTranspose3d(feats, k, **kw)
-    return lambda feats, k, **kw: ConvTranspose(feats, (k,) * spatial_dims, **kw)
+    return lambda feats, k, **kw: ConvTranspose(feats, (k,) * spatial_dims,
+                                                s2d_space=s2d, **kw)
 
 
 class VnetInvBlock(nn.Module):
@@ -49,16 +66,16 @@ class VnetInvBlock(nn.Module):
     spatial_dims: int
     is_separable: bool
     kernel_init: Callable
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
-        conv = _conv(self.is_separable, self.spatial_dims)
+        conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         h = conv(self.features, 5, padding=2, use_bias=use_bias,
                  kernel_init=self.kernel_init, name="conv")(x)
-        h = norm()(h)
-        return PReLU(self.features)(h)
+        h = _apply_norm(self.norm_type, h, self.features, self.s2d)
+        return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
 
 
 class InputBlock(nn.Module):
@@ -68,18 +85,21 @@ class InputBlock(nn.Module):
     spatial_dims: int
     is_separable: bool
     kernel_init: Callable
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
-        conv = _conv(self.is_separable, self.spatial_dims)
+        conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         out = conv(self.out_channels, 5, padding=2, use_bias=use_bias,
                    kernel_init=self.kernel_init, name="conv1")(x)
-        out = norm()(out)
+        out = _apply_norm(self.norm_type, out, self.out_channels, self.s2d)
+        # Residual channel-repeat: exact in c-major s2d space too (tiling the
+        # (c, d) channel vector == s2d of the original channel tile).
         n_repeats = self.out_channels // self.in_channels
         out = out + jnp.tile(x, (1,) * (x.ndim - 1) + (n_repeats,))
-        return PReLU(self.out_channels)(out)
+        return PReLU(self.out_channels,
+                     s2d_rn=self.s2d ** self.spatial_dims)(out)
 
 
 class _DownConv(nn.Module):
@@ -88,16 +108,16 @@ class _DownConv(nn.Module):
     spatial_dims: int
     is_separable: bool
     kernel_init: Callable
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
-        conv = _conv(self.is_separable, self.spatial_dims)
+        conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         h = conv(self.features, 2, strides=2, use_bias=use_bias,
                  kernel_init=self.kernel_init, name="conv")(x)
-        h = norm()(h)
-        return PReLU(self.features)(h)
+        h = _apply_norm(self.norm_type, h, self.features, self.s2d)
+        return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
 
 
 class _UpConv(nn.Module):
@@ -106,16 +126,16 @@ class _UpConv(nn.Module):
     spatial_dims: int
     is_separable: bool
     kernel_init: Callable
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
-        convt = _convt(self.is_separable, self.spatial_dims)
+        convt = _convt(self.is_separable, self.spatial_dims, self.s2d)
         h = convt(self.features, 2, strides=2, use_bias=use_bias,
                   kernel_init=self.kernel_init, name="convt")(x)
-        h = norm()(h)
-        return PReLU(self.features)(h)
+        h = _apply_norm(self.norm_type, h, self.features, self.s2d)
+        return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
 
 
 class DownBlock(nn.Module):
@@ -127,19 +147,21 @@ class DownBlock(nn.Module):
     use_inverse: bool
     is_separable: bool
     kernel_init: Callable
+    s2d: int = 0
 
     def setup(self):
         out = 2 * self.in_channels
         args = (self.norm_type, self.spatial_dims, self.is_separable, self.kernel_init)
-        self.down_conv_ab = _DownConv(out, *args)
+        self.down_conv_ab = _DownConv(out, *args, s2d=self.s2d)
         if self.use_inverse:
-            self.down_conv_ba = _DownConv(out, *args)
+            self.down_conv_ba = _DownConv(out, *args, s2d=self.s2d)
         self.core = InvertibleSequence(
             channels=out, n_blocks=self.n_conv_blocks, norm_type=self.norm_type,
             spatial_dims=self.spatial_dims, use_memory_saving=self.use_memory_saving,
             kernel_init=self.kernel_init,
-            block_template=VnetInvBlock(out // 2, *args))
-        self.relu = PReLU(out)
+            block_template=VnetInvBlock(out // 2, *args, s2d=self.s2d),
+            s2d=self.s2d)
+        self.relu = PReLU(out, s2d_rn=self.s2d ** self.spatial_dims)
 
     def __call__(self, x, inverse: bool = False):
         if self.is_initializing() and self.use_inverse:
@@ -160,18 +182,22 @@ class UpBlock(nn.Module):
     use_inverse: bool
     is_separable: bool
     kernel_init: Callable
+    s2d: int = 0
 
     def setup(self):
         args = (self.norm_type, self.spatial_dims, self.is_separable, self.kernel_init)
-        self.up_conv_ab = _UpConv(self.out_channels // 2, *args)
+        self.up_conv_ab = _UpConv(self.out_channels // 2, *args, s2d=self.s2d)
         if self.use_inverse:
-            self.up_conv_ba = _UpConv(self.out_channels // 2, *args)
+            self.up_conv_ba = _UpConv(self.out_channels // 2, *args, s2d=self.s2d)
         self.core = InvertibleSequence(
             channels=self.out_channels, n_blocks=self.n_conv_blocks,
             norm_type=self.norm_type, spatial_dims=self.spatial_dims,
             use_memory_saving=self.use_memory_saving, kernel_init=self.kernel_init,
-            block_template=VnetInvBlock(self.out_channels // 2, *args))
-        self.relu = PReLU(self.out_channels)
+            block_template=VnetInvBlock(self.out_channels // 2, *args,
+                                        s2d=self.s2d),
+            s2d=self.s2d)
+        self.relu = PReLU(self.out_channels,
+                          s2d_rn=self.s2d ** self.spatial_dims)
 
     def __call__(self, x, skipx, inverse: bool = False):
         if self.is_initializing() and self.use_inverse:
@@ -190,15 +216,16 @@ class OutBlock(nn.Module):
     spatial_dims: int
     is_separable: bool
     kernel_init: Callable
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
-        conv = _conv(self.is_separable, self.spatial_dims)
+        conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         h = conv(self.in_channels, 5, padding=2, use_bias=use_bias,
                  kernel_init=self.kernel_init, name="conv1")(x)
-        h = PReLU(self.in_channels)(norm()(h))
+        h = PReLU(self.in_channels, s2d_rn=self.s2d ** self.spatial_dims)(
+            _apply_norm(self.norm_type, h, self.in_channels, self.s2d))
         h = conv(self.out_channels, 1, kernel_init=self.kernel_init, name="conv2")(h)
         return jnp.tanh(h)
 
@@ -218,29 +245,42 @@ class VnetGenerator(nn.Module):
     spatial_dims: int = 3
     weight_init_type: str = "normal"
     weight_init_gain: float = 0.02
+    # Beyond-reference TPU execution mode (exact, same parameters): run the
+    # whole network in c-major space-to-depth space (ops/s2d_space.py) so
+    # every conv is >=128 output lanes on the MXU. 3D, zero-pad, non-separable,
+    # instance/none norm, even spatial extents at every level. Measured ~4x
+    # on V-Net level-0 convs (docs/benchmarks.md).
+    use_s2d_exec: bool = False
 
     def setup(self):
         if self.first_layer_channels % self.in_channels:
             raise ValueError("`first_layer_channels` has to be divisible by `in_channels`.")
         if len(self.down_blocks) != len(self.up_blocks):
             raise ValueError("Number of `down_blocks` and `up_blocks` has to be equal.")
+        if self.use_s2d_exec:
+            if self.spatial_dims != 3 or self.is_separable or                     any(self.enable_attention_block or ()):
+                raise ValueError(
+                    "use_s2d_exec requires spatial_dims=3, non-separable "
+                    "convs and no attention blocks.")
+        s2d = 2 if self.use_s2d_exec else 0
 
         init = make_initializer(self.weight_init_type, self.weight_init_gain)
         flc = self.first_layer_channels
         args = (self.norm_type, self.spatial_dims, self.is_separable, init)
 
-        self.in_ab = InputBlock(self.in_channels, flc, *args)
-        self.out_ab = OutBlock(flc * 2, self.out_channels, *args)
+        self.in_ab = InputBlock(self.in_channels, flc, *args, s2d=s2d)
+        self.out_ab = OutBlock(flc * 2, self.out_channels, *args, s2d=s2d)
         if self.use_inverse:
-            self.in_ba = InputBlock(self.in_channels, flc, *args)
-            self.out_ba = OutBlock(flc * 2, self.out_channels, *args)
+            self.in_ba = InputBlock(self.in_channels, flc, *args, s2d=s2d)
+            self.out_ba = OutBlock(flc * 2, self.out_channels, *args, s2d=s2d)
 
         downs, attns, factors = [], [], []
         for i, num_convs in enumerate(self.down_blocks):
             factor = 2 ** i
             downs.append(DownBlock(flc * factor, num_convs, self.norm_type,
                                    self.spatial_dims, self.use_memory_saving,
-                                   self.use_inverse, self.is_separable, init))
+                                   self.use_inverse, self.is_separable, init,
+                                   s2d=s2d))
             if self.enable_attention_block and self.enable_attention_block[i]:
                 attns.append(SelfAttentionBlock(flc * factor * 2, kernel_init=init))
             else:
@@ -253,12 +293,12 @@ class VnetGenerator(nn.Module):
         ups = [UpBlock(flc * up_factors[0], flc * up_factors[0],
                        self.up_blocks[0], self.norm_type, self.spatial_dims,
                        self.use_memory_saving, self.use_inverse,
-                       self.is_separable, init)]
+                       self.is_separable, init, s2d=s2d)]
         for i, num_convs in enumerate(self.up_blocks[1:]):
             ups.append(UpBlock(flc * up_factors[i], flc * up_factors[i + 1],
                                num_convs, self.norm_type, self.spatial_dims,
                                self.use_memory_saving, self.use_inverse,
-                               self.is_separable, init))
+                               self.is_separable, init, s2d=s2d))
         self.ups = ups
 
     @property
@@ -298,9 +338,25 @@ class VnetGenerator(nn.Module):
             raise ValueError(
                 "Trying to perform inverse forward while `use_inverse` flag is turned off.")
 
+        if self.use_s2d_exec:
+            if extract_features is not None:
+                raise ValueError(
+                    "use_s2d_exec does not support encoder feature taps "
+                    "(CUT); features would live in the transformed space.")
+            depth = len(self.down_blocks)
+            for d in x.shape[1:-1]:
+                if d % (2 ** (depth + 1)):
+                    raise ValueError(
+                        f"use_s2d_exec needs spatial extents divisible by "
+                        f"2^(levels+1)={2 ** (depth + 1)}, got {x.shape[1:-1]}.")
+            from ganslate_tpu.ops.s2d_space import decode, encode
+            x = encode(x, 2)
+
         if self.is_initializing() and self.use_inverse:
             self.out_ba(
-                jnp.zeros((*x.shape[:-1], self.first_layer_channels * 2), x.dtype))
+                jnp.zeros((*x.shape[:-1],
+                           self.first_layer_channels * 2 *
+                           (8 if self.use_s2d_exec else 1)), x.dtype))
             self.in_ba(x)
 
         in_block = self.in_ba if inverse else self.in_ab
@@ -328,4 +384,8 @@ class VnetGenerator(nn.Module):
             skip = out1 if i == len(self.ups) - 1 else down_outs_reversed[i + 1]
             out = up(out, skip, inverse=inverse)
 
-        return out_block(out)
+        out = out_block(out)
+        if self.use_s2d_exec:
+            from ganslate_tpu.ops.s2d_space import decode
+            out = decode(out, self.out_channels, 2)
+        return out

@@ -18,6 +18,11 @@ class Vnet3DConfig(configs.base.BaseGeneratorConfig):
     down_blocks: Tuple[int] = (1, 2, 3, 2)
     up_blocks: Tuple[int] = (2, 2, 1, 1)
     is_separable: bool = False
+    # Beyond-reference TPU execution mode: run the whole network in c-major
+    # space-to-depth space (exact, same checkpoints) so every conv fills the
+    # MXU lanes — ~4x on the flc=16 levels. Needs even spatial extents at
+    # every level; no attention/separable/CUT-feature-taps.
+    use_s2d_exec: bool = False
 
 
 class Vnet3D(VnetGenerator):

@@ -128,13 +128,24 @@ class InvertibleSequence(nn.Module):
     # Custom half-width residual module (e.g. V-Net's conv5+norm+PReLU);
     # defaults to the Piresnet block.
     block_template: Optional[nn.Module] = None
+    # c-major s2d execution space factor (ops/s2d_space.py): the channel
+    # split of the coupling is lane-contiguous there, so the coupling math
+    # is unchanged — only the init dummy must carry s2d-shaped features.
+    s2d: int = 0
 
     def setup(self):
         half = self.channels // 2
         self.block = self.block_template if self.block_template is not None \
             else InvResidualBlock(half, self.norm_type, self.pad_mode,
                                   self.spatial_dims, self.kernel_init)
-        dummy = jnp.zeros((1, *(8,) * self.spatial_dims, half), jnp.float32)
+        if self.s2d > 1:
+            assert self.block_template is not None, \
+                "s2d execution space needs an s2d-aware block template"
+            rn = self.s2d ** self.spatial_dims
+            dummy = jnp.zeros((1, *(8 // self.s2d,) * self.spatial_dims,
+                               half * rn), jnp.float32)
+        else:
+            dummy = jnp.zeros((1, *(8,) * self.spatial_dims, half), jnp.float32)
 
         def init_stack(rng):
             def init_one(key):

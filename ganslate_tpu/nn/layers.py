@@ -76,6 +76,13 @@ class Conv(nn.Module):
     stays in canonical (kh, kw, C, O) layout — checkpoints and the torch
     importer are unaffected; falls back to the plain conv whenever the
     geometry does not divide.
+
+    ``s2d_space`` = r > 1 means input AND output live in the c-major
+    space-to-depth execution space (ops/s2d_space.py): x has
+    true_C * r^n channels on an r-fold coarser grid, and the canonical
+    kernel is transformed on the fly (stride-1 symmetric-pad convs and
+    k == s == r down convs are supported). Used by the V-Net s2d execution
+    mode; parameters stay canonical.
     """
     features: int
     kernel_size: Sequence[int]
@@ -86,6 +93,7 @@ class Conv(nn.Module):
     feature_group_count: int = 1
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     s2d_factor: int = 0
+    s2d_space: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -93,6 +101,9 @@ class Conv(nn.Module):
         k = tuple(self.kernel_size)
         pad = _to_tuple(self.padding, n)
         strides = _to_tuple(self.strides, n)
+
+        if self.s2d_space > 1:
+            return self._call_s2d(x, n, k, pad, strides)
 
         in_features = x.shape[-1] // self.feature_group_count
         kernel = self.param("kernel", self.kernel_init,
@@ -125,6 +136,42 @@ class Conv(nn.Module):
             dimension_numbers=dn)
         return y + bias.astype(y.dtype) if bias is not None else y
 
+    def _call_s2d(self, x: Array, n, k, pad, strides) -> Array:
+        """s2d execution space: canonical params, transformed math."""
+        from ganslate_tpu.ops import s2d_space as sp
+
+        r = self.s2d_space
+        rn = r ** n
+        assert self.feature_group_count == 1 and self.pad_mode == "zeros", \
+            "s2d execution space supports plain zero-padded convs only"
+        in_true = x.shape[-1] // rn
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, in_true, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        kernel = kernel.astype(x.dtype)
+
+        if k == (r,) * n and strides == (r,) * n and all(p == 0 for p in pad):
+            kt = sp.transform_down_kernel(kernel, r)
+            conv_strides, pads = (r,) * n, [(0, 0)] * n
+        elif all(s == 1 for s in strides) and all(p == pad[0] for p in pad) \
+                and all(ki == k[0] for ki in k):
+            kt = sp.transform_stride1_kernel(kernel, r, pad[0])
+            conv_strides, pads = (1,) * n, [sp.stride1_pads(k[0], r, pad[0])] * n
+        else:
+            raise NotImplementedError(
+                f"s2d execution space: unsupported conv geometry k={k} "
+                f"s={strides} p={pad}")
+
+        spatial = "DHW"[3 - n:]
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(x, kt, conv_strides, pads,
+                                         dimension_numbers=dn)
+        if bias is not None:
+            y = y + jnp.repeat(bias, rn).astype(y.dtype)
+        return y
+
 
 class ConvTranspose(nn.Module):
     """Fractionally-strided conv with torch ConvTranspose output geometry:
@@ -134,11 +181,15 @@ class ConvTranspose(nn.Module):
     Two exact implementations share the same canonical (k..., C, O) kernel
     parameter (checkpoints/torch-importer agnostic):
 
-    - ``polyphase=True`` (default for strided cases): sub-pixel
-      decomposition — one dense conv producing all s^n output phases in the
-      channel dim + depth-to-space (ops/polyphase_transpose.py). MAC-optimal:
-      avoids the (s^n-1)/s^n structural-zero MACs of the dilated form.
+    - ``polyphase=True``: sub-pixel decomposition — one dense conv producing
+      all s^n output phases in the channel dim + depth-to-space
+      (ops/polyphase_transpose.py). MAC-optimal: avoids the (s^n-1)/s^n
+      structural-zero MACs of the dilated form.
     - ``polyphase=False``: `lax.conv_general_dilated` with input dilation.
+    - ``polyphase=None`` (default): measured per rank on v5e — 3D uses
+      polyphase (V-Net k2s2 grads 27% faster in isolation), 2D uses the
+      dilated form (4.6% faster inside the fused CycleGAN-256 train step,
+      where XLA's fusion favors it; A/B in docs/benchmarks.md).
     """
     features: int
     kernel_size: Sequence[int]
@@ -147,7 +198,8 @@ class ConvTranspose(nn.Module):
     output_padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
-    polyphase: bool = True
+    polyphase: Optional[bool] = None
+    s2d_space: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -157,10 +209,14 @@ class ConvTranspose(nn.Module):
         p = _to_tuple(self.padding, n)
         op = _to_tuple(self.output_padding, n)
 
+        if self.s2d_space > 1:
+            return self._call_s2d(x, n, k, s, p, op)
+
+        use_polyphase = self.polyphase if self.polyphase is not None else n == 3
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_features, self.features), jnp.float32)
-        if self.polyphase and any(si > 1 for si in s):
+        if use_polyphase and any(si > 1 for si in s):
             from ganslate_tpu.ops.polyphase_transpose import (
                 polyphase_conv_transpose)
             y = polyphase_conv_transpose(x, kernel.astype(x.dtype), s, p, op)
@@ -182,6 +238,30 @@ class ConvTranspose(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
             y = y + bias.astype(y.dtype)
+        return y
+
+    def _call_s2d(self, x: Array, n, k, s, p, op) -> Array:
+        """s2d execution space (k == s == r, p = 0 up convs only)."""
+        from ganslate_tpu.ops import s2d_space as sp
+        from ganslate_tpu.ops.polyphase_transpose import (
+            polyphase_conv_transpose)
+
+        r = self.s2d_space
+        rn = r ** n
+        if not (k == (r,) * n and s == (r,) * n and all(v == 0 for v in p)
+                and all(v == 0 for v in op)):
+            raise NotImplementedError(
+                f"s2d execution space: unsupported transpose geometry k={k} "
+                f"s={s} p={p} op={op}")
+        in_true = x.shape[-1] // rn
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, in_true, self.features), jnp.float32)
+        kt = sp.transform_up_kernel(kernel.astype(x.dtype), r)
+        y = polyphase_conv_transpose(x, kt, s, p, op)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + jnp.repeat(bias, rn).astype(y.dtype)
         return y
 
 
@@ -297,13 +377,19 @@ def leaky_relu(x: Array, negative_slope: float = 0.2) -> Array:
 
 class PReLU(nn.Module):
     """PReLU with per-channel learned slopes (torch nn.PReLU(num_channels))
-    or a single shared slope when `features` is None."""
+    or a single shared slope when `features` is None.
+
+    `s2d_rn` > 1: the input is a c-major s2d tensor with features * s2d_rn
+    lanes; the canonical per-channel slope is repeated per phase."""
     features: Optional[int] = None
     init_slope: float = 0.25
+    s2d_rn: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         shape = (self.features,) if self.features else (1,)
         slope = self.param("slope", nn.initializers.constant(self.init_slope),
                            shape, jnp.float32)
+        if self.s2d_rn > 1 and self.features:
+            slope = jnp.repeat(slope, self.s2d_rn)
         return jnp.where(x >= 0, x, x * slope.astype(x.dtype))

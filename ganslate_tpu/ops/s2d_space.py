@@ -1,0 +1,281 @@
+"""Space-to-depth EXECUTION SPACE for 3D V-Nets on TPU.
+
+Motivation (measured on v5e, see docs/benchmarks.md): XLA's 3D convolutions
+run at the MXU *output-lane* fraction — C_out=16 → 16/128 lanes → ~24 TFLOP/s
+(12% of peak), C_out=32 → ~42 TFLOP/s — so V-Net's small-channel levels
+(/root/reference/ganslate/nn/generators/vnet/vnet3d.py:151-240, flc=16 with
+half-width coupling cores) waste ~85% of the systolic array. Folding 2x2x2
+spatial blocks into channels (r=2) makes every conv >=128-channel: the
+transformed stride-1 conv measured 180 TFLOP/s (91% of peak).
+
+A one-off `space_to_depth` relayout between every conv is catastrophic on
+TPU (an elementwise lane/sublane shuffle, measured ~10 GB/s), so instead the
+ENTIRE network executes in the transformed space and every layout change is
+expressed as a convolution (one-hot or composite kernels) that the MXU
+performs at full rate:
+
+- network input:  one-hot stride-2 conv            (C -> 8C, grid /2)
+- stride-1 k5 SAME conv: k3 conv of transformed kernel (gather plan)
+- k2 s2 down conv: k2 s2 conv, kernel nonzero only at tap v == output phase
+- k2 s2 transposed up conv: transposed conv, tap v == input phase d
+- 1x1 conv: block-diagonal 1x1 (delta over the phase index)
+- instance-norm stats / PReLU slopes: per-true-channel grouping done with
+  0/1 matmuls over the lane dimension (no relayout)
+- network output: one-hot transposed conv back to the original grid
+
+Channel order is **c-major** (transformed index = c * r^n + d, d = spatial
+phase code): channel *slicing* (invertible coupling halves, skip concats)
+then stays lane-contiguous, so the V-Net's structural ops are free.
+
+Everything here is a pure function of the CANONICAL kernels — parameters,
+checkpoints, and the torch importer are untouched. All transforms are exact
+(tests/test_s2d_space.py checks encode -> op -> decode == op to f32
+precision); the only inexactness in the execution mode is bf16 rounding of
+a mathematically identical computation.
+"""
+
+from functools import lru_cache
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _phase_codes(r: int, n: int) -> np.ndarray:
+    """All phase offsets d in row-major order; code = ((d1*r)+d2)*r+d3..."""
+    grids = np.meshgrid(*[np.arange(r)] * n, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1)  # (r^n, n)
+
+
+@lru_cache(maxsize=None)
+def _encode_kernel_np(c: int, r: int, n: int) -> np.ndarray:
+    """One-hot stride-r conv kernel (r..r, C, C*r^n), c-major output order:
+    y[q, c*r^n + code(d)] = x[r*q + d, c]."""
+    rn = r ** n
+    k = np.zeros((*([r] * n), c, c * rn), np.float32)
+    for j, d in enumerate(_phase_codes(r, n)):
+        for ci in range(c):
+            k[(*d, ci, ci * rn + j)] = 1.0
+    return k
+
+
+@lru_cache(maxsize=None)
+def _decode_kernel_np(c: int, r: int, n: int) -> np.ndarray:
+    """One-hot transposed-conv kernel (r..r, C*r^n, C) inverting
+    `_encode_kernel_np` through `nn.layers.ConvTranspose` (which applies the
+    kernel in lax-correlation orientation, i.e. tap index v picks output
+    offset (r-1) - v per dim for stride r, padding 0)."""
+    rn = r ** n
+    k = np.zeros((*([r] * n), c * rn, c), np.float32)
+    for j, d in enumerate(_phase_codes(r, n)):
+        v = tuple((r - 1) - d_i for d_i in d)
+        for ci in range(c):
+            k[(*v, ci * rn + j, ci)] = 1.0
+    return k
+
+
+def encode(x: jax.Array, r: int = 2) -> jax.Array:
+    """(N, *spatial, C) -> (N, *spatial/r, C*r^n) via a one-hot stride-r conv
+    (the MXU performs the relayout at full rate). Spatial dims must divide r."""
+    n = x.ndim - 2
+    c = x.shape[-1]
+    kern = jnp.asarray(_encode_kernel_np(c, r, n), x.dtype)
+    spatial = "DHW"[3 - n:]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kern.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    return jax.lax.conv_general_dilated(x, kern, (r,) * n, "VALID",
+                                        dimension_numbers=dn)
+
+
+def decode(x: jax.Array, c: int, r: int = 2) -> jax.Array:
+    """Inverse of `encode`: (N, *g, C*r^n) -> (N, *g*r, C) via a one-hot
+    transposed conv (polyphase path: one 1x1 matmul + depth-to-space)."""
+    n = x.ndim - 2
+    kern = jnp.asarray(_decode_kernel_np(c, r, n), x.dtype)
+    from ganslate_tpu.ops.polyphase_transpose import polyphase_conv_transpose
+    return polyphase_conv_transpose(x, kern, (r,) * n, (0,) * n, (0,) * n)
+
+
+# ------------------------------------------------------------ kernel maps
+
+
+@lru_cache(maxsize=None)
+def _stride1_plan(k: int, r: int, pad: int) \
+        -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Per-dim gather plan for a stride-1 conv with symmetric `pad`:
+    with output phase p and input phase d, the original tap is
+    u = r*a + d - p + pad for transformed tap offset a (can be negative).
+    Returns (u, valid, pad_lo, pad_hi) where the transformed conv uses
+    explicit padding (pad_lo, pad_hi) and taps a in [-pad_lo, .., pad_hi]."""
+    a_lo = -(-(0 - (r - 1) - pad) // r)          # ceil
+    a_hi = (k - 1 + (r - 1) - pad) // r          # floor
+    a = np.arange(a_lo, a_hi + 1)[:, None, None]
+    d = np.arange(r)[None, :, None]
+    p = np.arange(r)[None, None, :]
+    u = r * a + d - p + pad
+    valid = (u >= 0) & (u < k)
+    keep = valid.any(axis=(1, 2))
+    first, last = np.argmax(keep), len(keep) - 1 - np.argmax(keep[::-1])
+    u, valid = u[first:last + 1], valid[first:last + 1]
+    a_lo, a_hi = a_lo + first, a_lo + last
+    return np.clip(u, 0, k - 1), valid, -a_lo, a_hi
+
+
+def transform_stride1_kernel(kernel: jax.Array, r: int = 2,
+                             pad: Optional[int] = None) -> jax.Array:
+    """(k..k, C, O) -> (ka..ka, C*r^n, O*r^n) with C-MAJOR channel order on
+    both sides, for an original stride-1 conv with symmetric `pad`
+    (default SAME: k//2). Apply the result as a conv over the s2d tensor
+    with the explicit padding from `stride1_pads` (exact for spatial extents
+    that divide r)."""
+    n = kernel.ndim - 2
+    ks = kernel.shape[:n]
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+
+    kr = kernel
+    for i in range(n):
+        p_i = ks[i] // 2 if pad is None else pad
+        u, valid, _, _ = _stride1_plan(ks[i], r, p_i)
+        ax = 3 * i
+        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+
+    # (a1,d1,p1, ..., an,dn,pn, C, O) -> (a1..an, C, d1..dn, O, p1..pn)
+    perm = ([3 * i for i in range(n)] + [3 * n] + [3 * i + 1 for i in range(n)]
+            + [3 * n + 1] + [3 * i + 2 for i in range(n)])
+    kr = kr.transpose(perm)
+    kas = kr.shape[:n]
+    rn = r ** n
+    return kr.reshape(*kas, c_in * rn, c_out * rn)
+
+
+def stride1_pads(k: int, r: int = 2, pad: Optional[int] = None) \
+        -> Tuple[int, int]:
+    """(pad_lo, pad_hi) for the transformed conv of `transform_stride1_kernel`."""
+    _, _, lo, hi = _stride1_plan(k, r, k // 2 if pad is None else pad)
+    return lo, hi
+
+
+@lru_cache(maxsize=None)
+def _down_delta(r: int, n: int) -> np.ndarray:
+    """(r..r taps v, r^n phase d', ) one-hot: tap v == phase d' per dim."""
+    rn = r ** n
+    delta = np.zeros((*([r] * n), rn), np.float32)
+    for j, d in enumerate(_phase_codes(r, n)):
+        delta[(*d, j)] = 1.0
+    return delta
+
+
+def transform_down_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
+    """k=s=r down conv: (r..r, C, O) -> (r..r, C*r^n, O*r^n), c-major.
+
+    Derivation: y_out[q, (o,d')] = down[r*q + d', o]
+      = sum_{e,c} x_orig[r*(r*q + d') + e, c] W[e, c, o]
+      = sum_{e,c} x_s2d[r*q + d', (c, e)] W[e, c, o]
+    i.e. a k=s=r conv on the s2d grid whose tap v contributes only to output
+    phase d' == v:  K[v, (c,e), (o,d')] = W[e, c, o] * delta(v == d')."""
+    n = kernel.ndim - 2
+    assert kernel.shape[:n] == tuple([r] * n)
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+    rn = r ** n
+    codes = _phase_codes(r, n)
+    # W[e, c, o] -> We[(c, e), o]  (c-major input order)
+    we = jnp.stack([kernel[tuple(e)] for e in codes], axis=1)   # (C, r^n, O)
+    we = we.reshape(c_in * rn, c_out)
+    delta = jnp.asarray(_down_delta(r, n), kernel.dtype)        # (r..r, r^n)
+    # K[v.., (c,e), (o,d')] = We[(c,e), o] * delta[v.., d']
+    k = jnp.einsum("io,...p->...iop", we, delta)
+    return k.reshape(*([r] * n), c_in * rn, c_out * rn)
+
+
+def transform_up_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
+    """k=s=r transposed up conv: (r..r, C, O) -> (r..r, C*r^n, O*r^n), c-major,
+    for use through `nn.layers.ConvTranspose` (lax-correlation orientation:
+    with k=s=r, p=0, tap index v writes output phase (r-1)-v per dim).
+
+    Derivation: y_out[q, (o,d')] = up[r*q + d', o]; torch transpose k=s=r:
+    up[m, o] = sum_c x[(m - (m mod r))/r, c] W[m mod r, c, o]
+      -> y_out[q, (o,d')] = sum_c x_s2d[(q - d)/r ... ] with the x-grid phase
+    d == q mod r:  a transposed conv on the s2d grid where the tap that
+    writes output phase D carries W[d', c, o] from input phase d == D."""
+    n = kernel.ndim - 2
+    assert kernel.shape[:n] == tuple([r] * n)
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+    rn = r ** n
+    codes = _phase_codes(r, n)
+    # K[v, (c,d), (o,d')] = Wl[(r-1)-d', c, o] * delta(d == D(v)), v=(r-1)-D
+    # (the canonical ConvTranspose kernel is stored in lax-correlation
+    # orientation: original tap for output phase e is Wl[(r-1)-e]).
+    wt = jnp.stack([kernel[tuple((r - 1) - dp_i for dp_i in dp)]
+                    for dp in codes], axis=-1)          # (C, O, r^n=d')
+    delta = np.zeros((*([r] * n), rn), np.float32)                # v.., d
+    for j, D in enumerate(codes):
+        v = tuple((r - 1) - D_i for D_i in D)
+        delta[(*v, j)] = 1.0
+    deltaj = jnp.asarray(delta, kernel.dtype)
+    # K[v.., (c,d), (o,d')] = wt[c, o, d'] * deltaj[v.., d]
+    k = jnp.einsum("cop,...d->...cdop", wt, deltaj)
+    return k.reshape(*([r] * n), c_in * rn, c_out * rn)
+
+
+def transform_1x1_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
+    """1x1 conv: (1..1, C, O) -> (1..1, C*r^n, O*r^n) block structure
+    K[(c,d), (o,d')] = W[c, o] * delta(d == d')."""
+    n = kernel.ndim - 2
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+    rn = r ** n
+    w = kernel.reshape(c_in, c_out)
+    eye = jnp.asarray(np.eye(rn, dtype=np.float32), kernel.dtype)
+    k = jnp.einsum("co,de->cdoe", w, eye)
+    return k.reshape(*([1] * n), c_in * rn, c_out * rn)
+
+
+# --------------------------------------------------- grouped pointwise ops
+
+
+@lru_cache(maxsize=None)
+def _group_mats_np(c: int, rn: int) -> Tuple[np.ndarray, np.ndarray]:
+    """A (C*rn, C): group-sum over the phase index; B (C, C*rn): broadcast."""
+    a = np.zeros((c * rn, c), np.float32)
+    for ci in range(c):
+        a[ci * rn:(ci + 1) * rn, ci] = 1.0
+    return a, a.T.copy()
+
+
+def broadcast_per_channel(vec: jax.Array, rn: int) -> jax.Array:
+    """(C,) -> (C*rn,) repeating each true channel rn times (c-major)."""
+    return jnp.repeat(vec, rn)
+
+
+def group_instance_norm(x: jax.Array, channels: int, rn: int,
+                        epsilon: float = 1e-5, activation: str = "none",
+                        negative_slope: float = 0.2) -> jax.Array:
+    """InstanceNorm over (spatial, phase) per (sample, true channel) for a
+    c-major s2d tensor (N, *g, C*rn) — exactly the original-space instance
+    norm. Stats grouping uses 0/1 matmuls over the lane dim (no relayout);
+    computed in fp32 like nn.layers.InstanceNorm."""
+    a, b = _group_mats_np(channels, rn)
+    aj = jnp.asarray(a)
+    bj = jnp.asarray(b)
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n_elems = rn * int(np.prod([x.shape[i] for i in spatial_axes]))
+
+    x32 = x.astype(jnp.float32)
+    s = jnp.sum(x32, axis=spatial_axes)                 # (N, C*rn)
+    ss = jnp.sum(jnp.square(x32), axis=spatial_axes)
+    mean = (s @ aj) / n_elems                           # (N, C)
+    var = (ss @ aj) / n_elems - jnp.square(mean)
+    scale = jax.lax.rsqrt(jnp.maximum(var, 0.0) + epsilon) @ bj   # (N, C*rn)
+    shift = (mean * jax.lax.rsqrt(jnp.maximum(var, 0.0) + epsilon)) @ bj
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    y = x32 * scale.reshape(shape) - shift.reshape(shape)
+    if activation == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif activation == "leaky_relu":
+        y = jnp.where(y >= 0, y, y * negative_slope)
+    return y.astype(x.dtype)

@@ -1,0 +1,217 @@
+"""s2d execution space (ops/s2d_space.py): every transformed op must satisfy
+encode -> op_t -> decode == op  on random inputs, to f32 precision."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ganslate_tpu.ops import s2d_space as sp
+
+
+def _conv(h, w, stride=1, pad=0):
+    n = h.ndim - 2
+    spatial = "DHW"[3 - n:]
+    dn = jax.lax.conv_dimension_numbers(
+        h.shape, w.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    return jax.lax.conv_general_dilated(h, w, (stride,) * n,
+                                        [(pad, pad)] * n, dimension_numbers=dn)
+
+
+def _convt(h, w, r):
+    """nn.layers.ConvTranspose math (lax-correlation, k=s=r, p=0)."""
+    n = h.ndim - 2
+    spatial = "DHW"[3 - n:]
+    dn = jax.lax.conv_dimension_numbers(
+        h.shape, w.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    return jax.lax.conv_general_dilated(
+        h, w, (1,) * n, [(r - 1, r - 1)] * n, lhs_dilation=(r,) * n,
+        dimension_numbers=dn)
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_encode_decode_roundtrip(rng, n):
+    sp_shape = (8,) * n
+    x = jnp.asarray(rng.normal(size=(2, *sp_shape, 3)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        return sp.decode(sp.encode(x, 2), 3, 2)
+
+    np.testing.assert_allclose(np.asarray(run(x)), np.asarray(x), atol=1e-5)
+
+
+def test_encode_channel_order_is_c_major(rng):
+    """Transformed channel index must be c * r^n + code(d) so channel slices
+    (coupling halves, concats) stay lane-contiguous."""
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 3)).astype(np.float32))
+    t = jax.jit(lambda x: sp.encode(x, 2))(x)
+    # cell q=(1,1,0), channel c=1, phase d=(1,0,1) -> code 5 -> index 1*8+5
+    np.testing.assert_allclose(float(t[0, 1, 1, 0, 1 * 8 + 5]),
+                               float(x[0, 3, 2, 1, 1]), atol=1e-6)
+
+
+@pytest.mark.parametrize("k,c,o", [(5, 4, 4), (5, 2, 6), (3, 4, 2), (1, 3, 5)])
+def test_stride1_conv_transform(rng, k, c, o):
+    """encode -> transformed k-> ka conv -> decode == original SAME conv."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, k, c, o)).astype(np.float32) * 0.2)
+    pad_lo, pad_hi = sp.stride1_pads(k, 2)
+
+    @jax.jit
+    def run(x, w):
+        ref = _conv(x, w, pad=k // 2)
+        t = sp.encode(x, 2)
+        kt = sp.transform_stride1_kernel(w, 2)
+        n = t.ndim - 2
+        spatial = "DHW"[3 - n:]
+        dn = jax.lax.conv_dimension_numbers(
+            t.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        yt = jax.lax.conv_general_dilated(t, kt, (1,) * n,
+                                          [(pad_lo, pad_hi)] * n,
+                                          dimension_numbers=dn)
+        return ref, sp.decode(yt, o, 2)
+
+    ref, got = run(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_down_conv_transform(rng):
+    """encode -> transformed k2s2 conv -> (next-level) decode == original."""
+    c, o = 3, 6
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 2, 2, c, o)).astype(np.float32) * 0.3)
+
+    @jax.jit
+    def run(x, w):
+        ref = _conv(x, w, stride=2)              # (2,4,4,4,o) on orig/2 grid
+        t = sp.encode(x, 2)                      # level-l s2d
+        kt = sp.transform_down_kernel(w, 2)
+        yt = _conv(t, kt, stride=2)              # level-(l+1) s2d
+        return ref, sp.decode(yt, o, 2)
+
+    ref, got = run(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_up_conv_transform(rng):
+    """encode -> transformed k2s2 transpose -> decode == original transpose
+    (both in the canonical lax-correlation orientation of ConvTranspose)."""
+    c, o = 4, 2
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 2, 2, c, o)).astype(np.float32) * 0.3)
+
+    @jax.jit
+    def run(x, w):
+        ref = _convt(x, w, 2)                    # (2,8,8,8,o)
+        t = sp.encode(x, 2)                      # s2d of the input grid
+        kt = sp.transform_up_kernel(w, 2)
+        yt = _convt(t, kt, 2)                    # s2d of the output grid
+        return ref, sp.decode(yt, o, 2)
+
+    ref, got = run(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_1x1_conv_transform(rng):
+    c, o = 3, 5
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, 1, 1, c, o)).astype(np.float32))
+
+    @jax.jit
+    def run(x, w):
+        ref = _conv(x, w)
+        t = sp.encode(x, 2)
+        yt = _conv(t, sp.transform_1x1_kernel(w, 2))
+        return ref, sp.decode(yt, o, 2)
+
+    ref, got = run(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_group_instance_norm(rng):
+    """Grouped IN on the s2d tensor == InstanceNorm in original space."""
+    from ganslate_tpu.ops.instance_norm import instance_norm
+    c = 4
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, c)).astype(np.float32) * 3 + 1)
+
+    @jax.jit
+    def run(x):
+        ref = instance_norm(x, 1e-5, "relu")
+        t = sp.encode(x, 2)
+        yt = sp.group_instance_norm(t, c, 8, 1e-5, "relu")
+        return ref, sp.decode(yt, c, 2)
+
+    ref, got = run(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_broadcast_per_channel():
+    v = jnp.asarray(np.arange(3, dtype=np.float32))
+    out = sp.broadcast_per_channel(v, 4)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.repeat(np.arange(3, dtype=np.float32), 4))
+
+
+# ------------------------------------------------- full-network equivalence
+
+
+@pytest.mark.parametrize("use_inverse", [False, True])
+def test_vnet_s2d_exec_matches_plain(rng, use_inverse):
+    """Vnet3D(use_s2d_exec=True) == Vnet3D(False) with the SAME parameters
+    (checkpoint compatibility + mathematical exactness of the whole mode)."""
+    from ganslate_tpu.nn.generators import Vnet3D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1, 1), up_blocks=(1, 1),
+              use_memory_saving=False, use_inverse=use_inverse)
+    plain = Vnet3D(**kw)
+    s2d = Vnet3D(use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        params = plain.init(jax.random.key(0), x)
+        outs = [plain.apply(params, x), s2d.apply(params, x)]
+        if use_inverse:
+            outs += [plain.apply(params, x, inverse=True),
+                     s2d.apply(params, x, inverse=True)]
+        return outs
+
+    outs = run(x)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
+                               atol=2e-3, rtol=1e-3)
+    if use_inverse:
+        np.testing.assert_allclose(np.asarray(outs[3]), np.asarray(outs[2]),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_vnet_s2d_exec_memory_saving_gradients(rng):
+    """Recompute-by-inverse VJP in s2d space == plain-exec gradients."""
+    from ganslate_tpu.nn.generators import Vnet3D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1,), up_blocks=(1,), use_inverse=False)
+    plain = Vnet3D(use_memory_saving=False, **kw)
+    s2d = Vnet3D(use_memory_saving=True, use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 1)).astype(np.float32))
+
+    @jax.jit
+    def grads(x):
+        params = plain.init(jax.random.key(0), x)
+        g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(s2d.apply(p, x) ** 2))(params)
+        return g1, g2
+
+    g1, g2 = grads(x)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-3)
