@@ -114,7 +114,10 @@ def bench_vnet3d_sliding_window():
 
     # s2d execution space (ops/s2d_space.py): exact, same checkpoints,
     # measured 1.57x on the 7-window forward (538 -> 343 ms) because the
-    # flc=16 levels stop wasting 7/8 of the MXU output lanes.
+    # flc=16 levels stop wasting 7/8 of the MXU output lanes — and it
+    # compiles at sw_batch=28 (all windows in ONE network call) where the
+    # plain exec OOMs at compile from sw_batch=14 up. Sweep 7/10/14/28:
+    # 0.723 / 0.915 / 1.340 / 1.633 vols/sec.
     model = Vnet3D(in_channels=1, out_channels=1,
                    down_blocks=(2, 2, 3), up_blocks=(3, 3, 3),
                    use_memory_saving=False, use_inverse=False,
@@ -128,9 +131,7 @@ def bench_vnet3d_sliding_window():
     def network(p, x):
         return model.apply({"params": p}, x.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    # sw_batch_size sweep on v5e (1/2/4/7/14): 7 windows per network call is
-    # fastest (0.589 vs 0.411 vols/sec at 1); 14+ fails to compile (HBM).
-    inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=7,
+    inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=28,
                                    overlap=0.25, mode="gaussian")
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.uniform(-1, 1, volume_shape).astype(np.float32))
@@ -150,17 +151,16 @@ def bench_vnet3d_sliding_window():
         "volume_shape": list(volume_shape[1:-1]),
         "window": list(roi),
     }
-    # Bound analysis: BRaTS V-Net (flc=16) is HBM-traffic bound, not FLOP
-    # bound — C=16 uses 16/128 MXU-lanes and the pointwise norm/PReLU chain
-    # dominates (measured 3% MFU, ~285 GB/s effective on v5e). Report XLA's
-    # own counts so "fast" is auditable.
+    # Bound analysis: the plain-exec V-Net is MXU-LANE bound (C=16 -> 12%
+    # of peak, slope-timed; docs/benchmarks.md) — the s2d execution space
+    # fixes the lanes. Report XLA's own counts so "fast" is auditable.
     try:
         fwd = jax.jit(lambda p, x: network(p, x))
-        cost = fwd.lower(params, jnp.zeros((7, *roi, 1),
+        cost = fwd.lower(params, jnp.zeros((28, *roi, 1),
                                            jnp.float32)).compile().cost_analysis()
         if cost:
-            result["window_fwd_tflops_batch7"] = round(cost.get("flops", 0) / 1e12, 2)
-            result["window_fwd_hbm_gb_batch7"] = round(
+            result["window_fwd_tflops_batch28"] = round(cost.get("flops", 0) / 1e12, 2)
+            result["window_fwd_hbm_gb_batch28"] = round(
                 cost.get("bytes accessed", 0) / 1e9, 1)
     except Exception:
         pass
