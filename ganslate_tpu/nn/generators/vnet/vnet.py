@@ -339,10 +339,6 @@ class VnetGenerator(nn.Module):
                 "Trying to perform inverse forward while `use_inverse` flag is turned off.")
 
         if self.use_s2d_exec:
-            if extract_features is not None:
-                raise ValueError(
-                    "use_s2d_exec does not support encoder feature taps "
-                    "(CUT); features would live in the transformed space.")
             depth = len(self.down_blocks)
             for d in x.shape[1:-1]:
                 if d % (2 ** (depth + 1)):
@@ -376,6 +372,16 @@ class VnetGenerator(nn.Module):
             features.append(h)
 
         if extract_features is not None:
+            if self.use_s2d_exec:
+                # Decode only the requested taps back to the original grid
+                # (one-hot transposed convs) so CUT's patch sampling sees the
+                # same geometry as plain execution.
+                from ganslate_tpu.ops.s2d_space import decode
+                flc = self.first_layer_channels
+                true_c = [flc] + [flc * 2 ** (i + 1)
+                                  for i in range(len(self.down_blocks))]
+                return [decode(features[i], true_c[i], 2)
+                        for i in extract_features]
             return [features[i] for i in extract_features]
 
         down_outs_reversed = list(reversed(down_outs))

@@ -215,3 +215,29 @@ def test_vnet_s2d_exec_memory_saving_gradients(rng):
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_vnet_s2d_exec_feature_taps_match_plain(rng):
+    """CUT encoder taps under s2d are decoded to the original geometry and
+    match plain execution."""
+    from ganslate_tpu.nn.generators import Vnet3D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1, 1), up_blocks=(1, 1),
+              use_memory_saving=False, use_inverse=False)
+    plain = Vnet3D(**kw)
+    s2d = Vnet3D(use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        params = plain.init(jax.random.key(0), x)
+        f1 = plain.apply(params, x, extract_features=[0, 1, 2])
+        f2 = s2d.apply(params, x, extract_features=[0, 1, 2])
+        return f1, f2
+
+    f1, f2 = run(x)
+    for a, b in zip(f1, f2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-3, rtol=1e-3)
