@@ -258,10 +258,10 @@ class VnetGenerator(nn.Module):
         if len(self.down_blocks) != len(self.up_blocks):
             raise ValueError("Number of `down_blocks` and `up_blocks` has to be equal.")
         if self.use_s2d_exec:
-            if self.spatial_dims != 3 or self.is_separable or                     any(self.enable_attention_block or ()):
+            if self.spatial_dims != 3 or self.is_separable:
                 raise ValueError(
-                    "use_s2d_exec requires spatial_dims=3, non-separable "
-                    "convs and no attention blocks.")
+                    "use_s2d_exec requires spatial_dims=3 and non-separable "
+                    "convs.")
         s2d = 2 if self.use_s2d_exec else 0
 
         init = make_initializer(self.weight_init_type, self.weight_init_gain)
@@ -364,10 +364,18 @@ class VnetGenerator(nn.Module):
 
         down_outs = []
         h = out1
-        for down, attn in zip(self.downs, self.attns):
+        for i, (down, attn) in enumerate(zip(self.downs, self.attns)):
             h = down(h, inverse=inverse)
             if attn is not None:
-                h = attn(h)
+                if self.use_s2d_exec:
+                    # Attention runs in the original space (its softmax mixes
+                    # spatial positions, which folding would change): decode,
+                    # attend, re-encode — two one-hot convs per attended level.
+                    from ganslate_tpu.ops.s2d_space import decode, encode
+                    c_level = self.first_layer_channels * 2 ** (i + 1)
+                    h = encode(attn(decode(h, c_level, 2)), 2)
+                else:
+                    h = attn(h)
             down_outs.append(h)
             features.append(h)
 

@@ -241,3 +241,26 @@ def test_vnet_s2d_exec_feature_taps_match_plain(rng):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-3, rtol=1e-3)
+
+
+def test_vnet_s2d_exec_with_attention_matches_plain(rng):
+    """Attention levels run decode -> attend -> encode; output matches the
+    plain SelfAttention V-Net with the same params."""
+    from ganslate_tpu.nn.generators.vnet.vnet import VnetGenerator
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1, 1), up_blocks=(1, 1),
+              enable_attention_block=(False, True),
+              use_memory_saving=False, use_inverse=False, spatial_dims=3)
+    plain = VnetGenerator(**kw)
+    s2d = VnetGenerator(use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        params = plain.init(jax.random.key(0), x)
+        return plain.apply(params, x), s2d.apply(params, x)
+
+    a, b = run(x)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=2e-3, rtol=1e-3)
