@@ -264,3 +264,46 @@ def test_vnet_s2d_exec_with_attention_matches_plain(rng):
     a, b = run(x)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_use_s2d_exec_reachable_from_config():
+    """`generator.use_s2d_exec: true` in a reference-format YAML reaches the
+    built V-Net module via the real config machinery (schema merge +
+    build_G), proving the flag is user-reachable."""
+    from ganslate_tpu.configs.config import Config
+    from ganslate_tpu.configs.omega import Conf
+    from ganslate_tpu.configs.utils import init_config
+    from ganslate_tpu.utils.builders import build_G
+
+    raw = {
+        "project": None,
+        "train": {
+            "output_dir": "/tmp/s2d_conf_test",
+            "n_iters": 1, "batch_size": 1,
+            "dataset": {
+                "_target_": "ganslate.data.UnpairedImageDataset",
+                "root": "/tmp", "num_workers": 0,
+                "image_channels": 1,
+                "load_size": [16, 16],
+            },
+            "gan": {
+                "_target_": "ganslate.nn.gans.unpaired.CycleGAN",
+                "generator": {
+                    "_target_": "ganslate.nn.generators.Vnet3D",
+                    "first_layer_channels": 4,
+                    "down_blocks": [1, 1], "up_blocks": [1, 1],
+                    "use_memory_saving": False, "use_inverse": False,
+                    "use_s2d_exec": True,
+                    "in_out_channels": {"AB": [1, 1]},
+                },
+                "discriminator": {
+                    "_target_": "ganslate.nn.discriminators.PatchGAN3D",
+                    "n_layers": 2, "in_channels": {"B": 1},
+                },
+            },
+        },
+    }
+    conf = init_config(Conf.create(raw), config_class=Config)
+    assert conf.train.gan.generator.use_s2d_exec is True
+    module = build_G(conf, "AB")
+    assert module.use_s2d_exec is True
