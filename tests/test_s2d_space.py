@@ -307,3 +307,33 @@ def test_use_s2d_exec_reachable_from_config():
     assert conf.train.gan.generator.use_s2d_exec is True
     module = build_G(conf, "AB")
     assert module.use_s2d_exec is True
+
+
+def test_s2d_vnet_through_sliding_window_distributed(rng):
+    """The distributed sliding-window inferer drives an s2d V-Net (the
+    combination the cyclegan_s2d.yaml validation path uses): output matches
+    the plain-exec network through the same inferer."""
+    from ganslate_tpu.nn.generators import Vnet3D
+    from ganslate_tpu.utils.sliding_window_inferer import SlidingWindowInferer
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1,), up_blocks=(1,),
+              use_memory_saving=False, use_inverse=False)
+    plain = Vnet3D(**kw)
+    s2d = Vnet3D(use_s2d_exec=True, **kw)
+
+    roi = (8, 8, 8)
+    vol = jnp.asarray(rng.normal(size=(1, 12, 12, 12, 1)).astype(np.float32))
+    params = jax.jit(plain.init)(
+        jax.random.key(0), jnp.zeros((1, *roi, 1), jnp.float32))
+
+    def net(model):
+        return lambda p, x: model.apply(p, x)
+
+    out_plain = SlidingWindowInferer(roi, sw_batch_size=2, overlap=0.25,
+                                     mode="gaussian")(vol, net(plain), params)
+    out_s2d = SlidingWindowInferer(roi, sw_batch_size=2, overlap=0.25,
+                                   mode="gaussian")(vol, net(s2d), params)
+    assert out_plain.shape == out_s2d.shape == vol.shape
+    np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_plain),
+                               atol=2e-3, rtol=1e-3)
