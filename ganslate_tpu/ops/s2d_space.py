@@ -279,3 +279,189 @@ def group_instance_norm(x: jax.Array, channels: int, rn: int,
     elif activation == "leaky_relu":
         y = jnp.where(y >= 0, y, y * negative_slope)
     return y.astype(x.dtype)
+
+
+# --------------------------------------------- general strided geometries
+# (building blocks for extending the execution space to Piresnet3D /
+#  Resnet3D, whose down/up convs are k3 s2 p1 rather than k2 s2)
+
+
+@lru_cache(maxsize=None)
+def _strided_plan(k: int, r: int, pad: int) \
+        -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Per-dim gather plan for a stride-r conv with symmetric `pad`, mapping
+    s2d_l -> s2d_{l+1}.
+
+    Derivation: y_t[q', (o,d')] = y_orig[r q' + d'] = sum_u x_orig[
+    r(r q' + d') + u - pad] W[u]; with x index i = r B + d and
+    j := r d' + u - pad = r a + d (a = cell offset), the transformed conv has
+    stride r, window cells a in [amin, amax], and kernel entry
+    K[a, d, d'] = W[u],  u = r a + d - r d' + pad,  valid iff 0 <= u < k.
+    Returns (u, valid, pad_lo=-amin, amax) with u/valid shaped
+    (A, r, r) = (cell tap, input phase d, output phase d')."""
+    amin = (0 - pad) // r                                        # floor(-p/r)
+    amax = (r * (r - 1) + k - 1 - pad) // r
+    a = np.arange(amin, amax + 1)[:, None, None]
+    d = np.arange(r)[None, :, None]
+    dp = np.arange(r)[None, None, :]
+    u = r * a + d - r * dp + pad
+    valid = (u >= 0) & (u < k)
+    keep = valid.any(axis=(1, 2))
+    first, last = np.argmax(keep), len(keep) - 1 - np.argmax(keep[::-1])
+    u, valid = u[first:last + 1], valid[first:last + 1]
+    amin, amax = amin + first, amin + last
+    return np.clip(u, 0, k - 1), valid, -amin, amax
+
+
+def transform_strided_kernel(kernel: jax.Array, r: int = 2,
+                             pad: int = 0) -> jax.Array:
+    """General stride-r down conv (any odd/even k, symmetric pad):
+    (k..k, C, O) -> (A..A, C*r^n, O*r^n), c-major, for a stride-r conv on
+    the s2d grid with the explicit padding from `strided_pads`."""
+    n = kernel.ndim - 2
+    ks = kernel.shape[:n]
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+
+    kr = kernel
+    for i in range(n):
+        u, valid, _, _ = _strided_plan(ks[i], r, pad)
+        ax = 3 * i
+        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+
+    # (a1,d1,p1, ..., an,dn,pn, C, O) -> (a1..an, C, d1..dn, O, p1..pn)
+    perm = ([3 * i for i in range(n)] + [3 * n] + [3 * i + 1 for i in range(n)]
+            + [3 * n + 1] + [3 * i + 2 for i in range(n)])
+    kr = kr.transpose(perm)
+    kas = kr.shape[:n]
+    rn = r ** n
+    return kr.reshape(*kas, c_in * rn, c_out * rn)
+
+
+def strided_pads(k: int, r: int = 2, pad: int = 0,
+                 in_cells: Optional[int] = None) -> Tuple[int, int]:
+    """(pad_lo, pad_hi) for `transform_strided_kernel`'s stride-r conv.
+    pad_hi needs the input cell count to cover the final window."""
+    u, _, lo, amax = _strided_plan(k, r, pad)
+    if in_cells is None:
+        return lo, max(0, amax)
+    out_orig = (in_cells * r + 2 * pad - k) // r + 1
+    q_cells = -(-out_orig // r)
+    hi = max(0, r * (q_cells - 1) + amax - (in_cells - 1))
+    return lo, hi
+
+
+@lru_cache(maxsize=None)
+def _up_general_plan(k: int, r: int, pad: int) \
+        -> Tuple[np.ndarray, np.ndarray, int]:
+    """Per-dim gather plan for a general stride-r transposed conv
+    (lax-correlation orientation, symmetric torch `pad`), s2d_{l+1} -> s2d_l.
+
+    With output cell q (phase d' of the s2d_l grid) and input cell P
+    (phase d), the canonical tap is u = r*w + r*d - d' + k - 1 - pad where
+    w = r*P - q. Applied as `conv_general_dilated(x, K, strides=1,
+    padding=(lo, hi), lhs_dilation=r)` with v = w - wmin and lo = -wmin.
+    Returns (u, valid, wmin) with u/valid shaped (A, r, r)."""
+    wmin = -(-(pad + 1 - k - r * r + r) // r)    # ceil
+    wmax = (pad + r) // r                        # floor
+    w = np.arange(wmin, wmax + 1)[:, None, None]
+    d = np.arange(r)[None, :, None]
+    dp = np.arange(r)[None, None, :]
+    u = r * w + r * d - dp + (k - 1 - pad)
+    valid = (u >= 0) & (u < k)
+    keep = valid.any(axis=(1, 2))
+    first, last = np.argmax(keep), len(keep) - 1 - np.argmax(keep[::-1])
+    u, valid = u[first:last + 1], valid[first:last + 1]
+    wmin = wmin + first
+    return np.clip(u, 0, k - 1), valid, wmin
+
+
+def transform_up_general_kernel(kernel: jax.Array, r: int = 2,
+                                pad: int = 0) -> jax.Array:
+    """General stride-r transposed conv (any k, symmetric pad, canonical
+    lax-correlation kernel): (k..k, C, O) -> (A..A, C*r^n, O*r^n), c-major.
+    Apply with `up_general_pads` via lhs_dilation=r (covers Piresnet /
+    Resnet3D's k3 s2 p1 op1 upsamplers; subsumes the k=s=r case)."""
+    n = kernel.ndim - 2
+    ks = kernel.shape[:n]
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+
+    kr = kernel
+    for i in range(n):
+        u, valid, _ = _up_general_plan(ks[i], r, pad)
+        ax = 3 * i
+        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+
+    perm = ([3 * i for i in range(n)] + [3 * n] + [3 * i + 1 for i in range(n)]
+            + [3 * n + 1] + [3 * i + 2 for i in range(n)])
+    kr = kr.transpose(perm)
+    kas = kr.shape[:n]
+    rn = r ** n
+    return kr.reshape(*kas, c_in * rn, c_out * rn)
+
+
+def up_general_pads(k: int, r: int, pad: int, output_padding: int,
+                    in_cells: int) -> Tuple[int, int]:
+    """(lo, hi) dilated-conv padding for `transform_up_general_kernel` so the
+    output covers ceil(out_orig / r) cells."""
+    u, _, wmin = _up_general_plan(k, r, pad)
+    a = u.shape[0]
+    lo = -wmin
+    out_orig = (in_cells * r - 1) * r - 2 * pad + k + output_padding
+    q_cells = -(-out_orig // r)
+    dilated_len = (in_cells - 1) * r + 1
+    hi = q_cells - 1 + a - lo - dilated_len
+    return lo, max(0, hi)
+
+
+def replicate_pad_cells(x: jax.Array, channels: int, r: int,
+                        pads: Sequence[Tuple[int, int]]) -> jax.Array:
+    """Replicate-padding in s2d space WITHOUT a relayout: border cells are
+    built from the edge cell's extreme phase broadcast to all phases
+    (orig replicate pad copies the edge voxel, and a fully-outside s2d cell
+    holds r^n copies of it), via a per-dim 0/1 lane matmul.
+
+    Only supports borders that lie fully outside the original extent per
+    dim (pad_lo, pad_hi <= ...cells of pure padding), which is the case for
+    every gather-plan border produced by `stride1_pads` when the original
+    padding is <= r * cells. x: (N, *cells, C*r^n)."""
+    n = x.ndim - 2
+    rn = r ** n
+    assert x.shape[-1] == channels * rn
+    codes = _phase_codes(r, n)
+
+    def phase_select_matrix(dim: int, phase_val: int) -> np.ndarray:
+        """M[(c,d), (c,d')] = 1 iff c matches and d[dim] replaced by
+        phase_val equals d' — i.e. output phases all read the edge phase."""
+        m = np.zeros((channels * rn, channels * rn), np.float32)
+        for j, d in enumerate(codes):
+            src = list(d)
+            src[dim] = phase_val
+            jsrc = int(np.ravel_multi_index(src, (r,) * n))
+            for c in range(channels):
+                m[c * rn + jsrc, c * rn + j] = 1.0
+        return m
+
+    for dim in range(n):
+        lo, hi = pads[dim]
+        parts = []
+        if lo:
+            m = jnp.asarray(phase_select_matrix(dim, 0), x.dtype)
+            edge = jax.lax.slice_in_dim(x, 0, 1, axis=1 + dim) @ m
+            parts += [edge] * lo
+        parts.append(x)
+        if hi:
+            m = jnp.asarray(phase_select_matrix(dim, r - 1), x.dtype)
+            size = x.shape[1 + dim]
+            edge = jax.lax.slice_in_dim(x, size - 1, size, axis=1 + dim) @ m
+            parts += [edge] * hi
+        if lo or hi:
+            x = jnp.concatenate(parts, axis=1 + dim)
+    return x

@@ -337,3 +337,103 @@ def test_s2d_vnet_through_sliding_window_distributed(rng):
     assert out_plain.shape == out_s2d.shape == vol.shape
     np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_plain),
                                atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("k,p,g", [(3, 1, 8), (2, 0, 8), (5, 2, 8), (4, 1, 12)])
+def test_general_strided_down_transform(rng, k, p, g):
+    """encode -> general stride-2 transformed conv -> decode == original
+    strided conv (covers Piresnet/Resnet3D's k3 s2 p1 geometry)."""
+    c, o = 3, 4
+    x = jnp.asarray(rng.normal(size=(2, g, g, g, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, k, c, o)).astype(np.float32) * 0.2)
+    in_cells = g // 2
+    pad_lo, pad_hi = sp.strided_pads(k, 2, p, in_cells)
+
+    @jax.jit
+    def run(x, w):
+        ref = _conv(x, w, stride=2, pad=p)
+        t = sp.encode(x, 2)
+        kt = sp.transform_strided_kernel(w, 2, p)
+        n = 3
+        dn = jax.lax.conv_dimension_numbers(
+            t.shape, kt.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        yt = jax.lax.conv_general_dilated(t, kt, (2,) * n,
+                                          [(pad_lo, pad_hi)] * n,
+                                          dimension_numbers=dn)
+        return ref, yt
+
+    ref, yt = run(x, w)
+    out_orig = ref.shape[1]
+    if out_orig % 2:
+        # odd original output: compare against the decodable even prefix
+        ref = ref[:, :out_orig - 1, :out_orig - 1, :out_orig - 1]
+    got = jax.jit(lambda yt: sp.decode(yt, o, 2))(yt)
+    got = np.asarray(got)[:, :ref.shape[1], :ref.shape[2], :ref.shape[3]]
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,p,op,g", [(3, 1, 1, 4), (2, 0, 0, 4), (4, 1, 0, 4),
+                                      (5, 2, 1, 4)])
+def test_general_up_transform(rng, k, p, op, g):
+    """encode -> general transformed transposed conv -> decode == original
+    (covers Piresnet/Resnet3D's k3 s2 p1 op1 upsampler; subsumes k2s2)."""
+    c, o = 3, 4
+    x = jnp.asarray(rng.normal(size=(2, g, g, g, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, k, c, o)).astype(np.float32) * 0.2)
+
+    def convt(h, w):
+        n = h.ndim - 2
+        dn = jax.lax.conv_dimension_numbers(
+            h.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            h, w, (1,) * n, [(k - 1 - p, k - 1 - p + op)] * n,
+            lhs_dilation=(2,) * n, dimension_numbers=dn)
+
+    in_cells = g // 2
+    lo, hi = sp.up_general_pads(k, 2, p, op, in_cells)
+
+    @jax.jit
+    def run(x, w):
+        ref = convt(x, w)
+        t = sp.encode(x, 2)
+        kt = sp.transform_up_general_kernel(w, 2, p)
+        n = 3
+        dn = jax.lax.conv_dimension_numbers(
+            t.shape, kt.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        yt = jax.lax.conv_general_dilated(t, kt, (1,) * n, [(lo, hi)] * n,
+                                          lhs_dilation=(2,) * n,
+                                          dimension_numbers=dn)
+        return ref, yt
+
+    ref, yt = run(x, w)
+    got = np.asarray(jax.jit(lambda yt: sp.decode(yt, o, 2))(yt))
+    s = [min(a, b - b % 2) for a, b in zip(got.shape[1:4], ref.shape[1:4])]
+    np.testing.assert_allclose(
+        got[:, :s[0], :s[1], :s[2]],
+        np.asarray(ref)[:, :s[0], :s[1], :s[2]], atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_stride1_replicate_pad_transform(rng, k):
+    """Replicate-padded stride-1 conv (Piresnet's InvResidualBlock geometry)
+    in s2d space: manual border cells + VALID transformed conv == original."""
+    c, o = 3, 4
+    g = 8
+    p = k // 2
+    x = jnp.asarray(rng.normal(size=(2, g, g, g, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, k, c, o)).astype(np.float32) * 0.2)
+    pad_lo, pad_hi = sp.stride1_pads(k, 2, p)
+
+    @jax.jit
+    def run(x, w):
+        xp = jnp.pad(x, ((0, 0),) + ((p, p),) * 3 + ((0, 0),), mode="edge")
+        ref = _conv(xp, w)                       # VALID == replicate-SAME
+        t = sp.encode(x, 2)
+        tp = sp.replicate_pad_cells(t, c, 2, [(pad_lo, pad_hi)] * 3)
+        kt = sp.transform_stride1_kernel(w, 2, p)
+        yt = _conv(tp, kt)                       # VALID
+        return ref, sp.decode(yt, o, 2)
+
+    ref, got = run(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
