@@ -19,7 +19,7 @@ from flax import linen as nn
 from ganslate_tpu import configs
 from ganslate_tpu.configs.omega import MISSING
 from ganslate_tpu.nn.invertible import InvertibleSequence
-from ganslate_tpu.nn.layers import (Conv, ConvTranspose, get_norm_layer,
+from ganslate_tpu.nn.layers import (Conv, ConvTranspose, apply_norm_s2d,
                                     is_bias_before_norm, make_initializer)
 
 
@@ -32,6 +32,9 @@ class Piresnet3DConfig(configs.base.BaseGeneratorConfig):
     use_inverse: bool = True
     first_layer_channels: int = 32
     depth: int = MISSING
+    # TPU s2d execution space (exact, same checkpoints): every conv fills
+    # the MXU lanes. Needs spatial extents divisible by 4.
+    use_s2d_exec: bool = False
 
 
 class _DownConv(nn.Module):
@@ -39,18 +42,21 @@ class _DownConv(nn.Module):
     norm_type: str
     spatial_dims: int
     kernel_init: Callable
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
         k5, k3 = (5,) * self.spatial_dims, (3,) * self.spatial_dims
         h = Conv(self.features, k5, padding=2, pad_mode="replicate",
-                 use_bias=use_bias, kernel_init=self.kernel_init, name="conv1")(x)
-        h = nn.relu(norm()(h))
+                 use_bias=use_bias, kernel_init=self.kernel_init,
+                 s2d_space=self.s2d, name="conv1")(x)
+        h = nn.relu(apply_norm_s2d(self.norm_type, h, self.features, self.s2d))
         h = Conv(self.features * 2, k3, strides=2, padding=1, use_bias=use_bias,
-                 kernel_init=self.kernel_init, name="conv2")(h)
-        return nn.relu(norm()(h))
+                 kernel_init=self.kernel_init, s2d_space=self.s2d,
+                 name="conv2")(h)
+        return nn.relu(apply_norm_s2d(self.norm_type, h, self.features * 2,
+                                      self.s2d))
 
 
 class _UpConv(nn.Module):
@@ -59,18 +65,20 @@ class _UpConv(nn.Module):
     norm_type: str
     spatial_dims: int
     kernel_init: Callable
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
         k5, k3 = (5,) * self.spatial_dims, (3,) * self.spatial_dims
         h = ConvTranspose(self.features, k3, strides=2, padding=1,
                           output_padding=1, use_bias=use_bias,
-                          kernel_init=self.kernel_init, name="convt")(x)
-        h = nn.relu(norm()(h))
+                          kernel_init=self.kernel_init, s2d_space=self.s2d,
+                          name="convt")(x)
+        h = nn.relu(apply_norm_s2d(self.norm_type, h, self.features, self.s2d))
         h = Conv(self.out_channels, k5, padding=2, pad_mode="replicate",
-                 kernel_init=self.kernel_init, name="conv")(h)
+                 kernel_init=self.kernel_init, s2d_space=self.s2d,
+                 name="conv")(h)
         return jnp.tanh(h)
 
 
@@ -85,21 +93,29 @@ class Piresnet3D(nn.Module):
     spatial_dims: int = 3
     weight_init_type: str = "normal"
     weight_init_gain: float = 0.02
+    # TPU s2d execution space (ops/s2d_space.py): exact, same checkpoints.
+    use_s2d_exec: bool = False
 
     def setup(self):
+        if self.use_s2d_exec and self.spatial_dims != 3:
+            raise ValueError("use_s2d_exec requires spatial_dims=3.")
+        s2d = 2 if self.use_s2d_exec else 0
         init = make_initializer(self.weight_init_type, self.weight_init_gain)
         flc = self.first_layer_channels
-        self.down_ab = _DownConv(flc, self.norm_type, self.spatial_dims, init)
+        self.down_ab = _DownConv(flc, self.norm_type, self.spatial_dims, init,
+                                 s2d=s2d)
         self.up_ab = _UpConv(flc, self.out_channels, self.norm_type,
-                             self.spatial_dims, init)
+                             self.spatial_dims, init, s2d=s2d)
         if self.use_inverse:
-            self.down_ba = _DownConv(flc, self.norm_type, self.spatial_dims, init)
+            self.down_ba = _DownConv(flc, self.norm_type, self.spatial_dims,
+                                     init, s2d=s2d)
             self.up_ba = _UpConv(flc, self.out_channels, self.norm_type,
-                                 self.spatial_dims, init)
+                                 self.spatial_dims, init, s2d=s2d)
         self.core = InvertibleSequence(
             channels=flc * 2, n_blocks=self.depth, norm_type=self.norm_type,
             pad_mode="replicate", spatial_dims=self.spatial_dims,
-            use_memory_saving=self.use_memory_saving, kernel_init=init)
+            use_memory_saving=self.use_memory_saving, kernel_init=init,
+            s2d=s2d)
 
     def torch_param_order_rank(self, path):
         """Align with the reference's registration order (piresnet3d.py:46-56:
@@ -113,6 +129,15 @@ class Piresnet3D(nn.Module):
         if inverse and not self.use_inverse:
             raise ValueError(
                 "Trying to perform inverse forward while `use_inverse` flag is turned off.")
+
+        if self.use_s2d_exec:
+            for d in x.shape[1:-1]:
+                if d % 4:
+                    raise ValueError(
+                        f"use_s2d_exec needs spatial extents divisible by 4, "
+                        f"got {x.shape[1:-1]}.")
+            from ganslate_tpu.ops.s2d_space import encode
+            x = encode(x, 2)
 
         # Touch every submodule at init so both directions' params exist in
         # the variables tree regardless of the traced direction.
@@ -129,5 +154,13 @@ class Piresnet3D(nn.Module):
         feats.append(h)
         if extract_features is not None:
             # Coarse encoder taps: 0 = downconv output, 1 = core output.
+            if self.use_s2d_exec:
+                from ganslate_tpu.ops.s2d_space import decode
+                return [decode(feats[i], self.first_layer_channels * 2, 2)
+                        for i in extract_features]
             return [feats[i] for i in extract_features]
-        return up(h)
+        out = up(h)
+        if self.use_s2d_exec:
+            from ganslate_tpu.ops.s2d_space import decode
+            out = decode(out, self.out_channels, 2)
+        return out

@@ -28,17 +28,7 @@ from ganslate_tpu.nn.layers import (Conv, ConvTranspose, PReLU, get_norm_layer,
 from ganslate_tpu.nn.separable import SeparableConv3d, SeparableConvTranspose3d
 
 
-def _apply_norm(norm_type, h, channels, s2d):
-    """Norm dispatch: standard module, or the grouped s2d-space equivalent
-    (exact — stats pool over (spatial, phase) per true channel)."""
-    if s2d > 1:
-        if norm_type in ("none", None):
-            return h
-        assert norm_type == "instance", \
-            f"s2d execution space supports instance/none norms, got {norm_type}"
-        from ganslate_tpu.ops.s2d_space import group_instance_norm
-        return group_instance_norm(h, channels, s2d ** (h.ndim - 2))
-    return get_norm_layer(norm_type)()(h)
+from ganslate_tpu.nn.layers import apply_norm_s2d as _apply_norm
 
 
 def _conv(is_separable, spatial_dims, s2d=0):

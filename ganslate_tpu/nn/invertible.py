@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ganslate_tpu.nn.layers import Conv, get_norm_layer, is_bias_before_norm
+from ganslate_tpu.nn.layers import Conv, apply_norm_s2d, is_bias_before_norm
 
 
 def _split(x):
@@ -98,16 +98,17 @@ class InvResidualBlock(nn.Module):
     pad_mode: str = "replicate"
     spatial_dims: int = 3
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
-        norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
-        h = norm()(x)
+        h = apply_norm_s2d(self.norm_type, x, self.features, self.s2d)
         h = Conv(self.features, (3,) * self.spatial_dims, padding=1,
                  pad_mode=self.pad_mode, use_bias=use_bias,
-                 kernel_init=self.kernel_init, name="conv")(h)
-        h = norm()(h)
+                 kernel_init=self.kernel_init, s2d_space=self.s2d,
+                 name="conv")(h)
+        h = apply_norm_s2d(self.norm_type, h, self.features, self.s2d)
         return nn.relu(h)
 
 
@@ -137,10 +138,9 @@ class InvertibleSequence(nn.Module):
         half = self.channels // 2
         self.block = self.block_template if self.block_template is not None \
             else InvResidualBlock(half, self.norm_type, self.pad_mode,
-                                  self.spatial_dims, self.kernel_init)
+                                  self.spatial_dims, self.kernel_init,
+                                  s2d=self.s2d)
         if self.s2d > 1:
-            assert self.block_template is not None, \
-                "s2d execution space needs an s2d-aware block template"
             rn = self.s2d ** self.spatial_dims
             dummy = jnp.zeros((1, *(8 // self.s2d,) * self.spatial_dims,
                                half * rn), jnp.float32)

@@ -137,31 +137,48 @@ class Conv(nn.Module):
         return y + bias.astype(y.dtype) if bias is not None else y
 
     def _call_s2d(self, x: Array, n, k, pad, strides) -> Array:
-        """s2d execution space: canonical params, transformed math."""
+        """s2d execution space: canonical params, transformed math.
+
+        Geometries: stride-1 symmetric-pad (zeros or replicate) convs,
+        k == s == r down convs, and general stride-r down convs."""
         from ganslate_tpu.ops import s2d_space as sp
 
         r = self.s2d_space
         rn = r ** n
-        assert self.feature_group_count == 1 and self.pad_mode == "zeros", \
-            "s2d execution space supports plain zero-padded convs only"
+        assert self.feature_group_count == 1, \
+            "s2d execution space supports ungrouped convs only"
         in_true = x.shape[-1] // rn
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_true, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32) if self.use_bias else None
         kernel = kernel.astype(x.dtype)
+        square = all(ki == k[0] for ki in k) and all(p == pad[0] for p in pad)
 
         if k == (r,) * n and strides == (r,) * n and all(p == 0 for p in pad):
             kt = sp.transform_down_kernel(kernel, r)
             conv_strides, pads = (r,) * n, [(0, 0)] * n
-        elif all(s == 1 for s in strides) and all(p == pad[0] for p in pad) \
-                and all(ki == k[0] for ki in k):
+        elif all(s == 1 for s in strides) and square:
+            assert self.pad_mode in ("zeros", "replicate", "edge"), \
+                f"s2d execution space: unsupported pad_mode {self.pad_mode}"
             kt = sp.transform_stride1_kernel(kernel, r, pad[0])
-            conv_strides, pads = (1,) * n, [sp.stride1_pads(k[0], r, pad[0])] * n
+            lo, hi = sp.stride1_pads(k[0], r, pad[0])
+            if self.pad_mode == "zeros":
+                conv_strides, pads = (1,) * n, [(lo, hi)] * n
+            else:
+                # replicate: build border cells explicitly (edge-phase
+                # broadcast, a 0/1 lane matmul), then VALID conv.
+                x = sp.replicate_pad_cells(x, in_true, r, [(lo, hi)] * n)
+                conv_strides, pads = (1,) * n, [(0, 0)] * n
+        elif strides == (r,) * n and square and self.pad_mode == "zeros":
+            kt = sp.transform_strided_kernel(kernel, r, pad[0])
+            pads = [sp.strided_pads(k[0], r, pad[0], x.shape[1 + i])
+                    for i in range(n)]
+            conv_strides = (r,) * n
         else:
             raise NotImplementedError(
                 f"s2d execution space: unsupported conv geometry k={k} "
-                f"s={strides} p={pad}")
+                f"s={strides} p={pad} pad_mode={self.pad_mode}")
 
         spatial = "DHW"[3 - n:]
         dn = jax.lax.conv_dimension_numbers(
@@ -251,20 +268,29 @@ class ConvTranspose(nn.Module):
 
         r = self.s2d_space
         rn = r ** n
-        if not (k == (r,) * n and s == (r,) * n and all(v == 0 for v in p)
-                and all(v == 0 for v in op)):
+        square = (all(ki == k[0] for ki in k) and all(v == p[0] for v in p)
+                  and all(v == op[0] for v in op))
+        if not (s == (r,) * n and square):
             raise NotImplementedError(
                 f"s2d execution space: unsupported transpose geometry k={k} "
                 f"s={s} p={p} op={op}")
         in_true = x.shape[-1] // rn
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_true, self.features), jnp.float32)
-        kt = sp.transform_up_kernel(kernel.astype(x.dtype), r)
         spatial = "DHW"[3 - n:]
+        if k == (r,) * n and p[0] == 0 and op[0] == 0:
+            # k == s == r: tightest transformed window (extent r per dim).
+            kt = sp.transform_up_kernel(kernel.astype(x.dtype), r)
+            pads = [(r - 1, r - 1)] * n
+        else:
+            # General geometry (e.g. Piresnet/Resnet3D k3 s2 p1 op1).
+            kt = sp.transform_up_general_kernel(kernel.astype(x.dtype), r, p[0])
+            pads = [sp.up_general_pads(k[0], r, p[0], op[0], x.shape[1 + i])
+                    for i in range(n)]
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
         y = jax.lax.conv_general_dilated(
-            x, kt, (1,) * n, [(r - 1, r - 1)] * n, lhs_dilation=(r,) * n,
+            x, kt, (1,) * n, pads, lhs_dilation=(r,) * n,
             dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -352,6 +378,20 @@ class IdentityNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return x
+
+
+def apply_norm_s2d(norm_type: str, h: Array, channels: int, s2d: int) -> Array:
+    """Norm dispatch shared by the s2d-capable generators: the standard norm
+    module, or the grouped s2d-space equivalent (exact — stats pool over
+    (spatial, phase) per true channel)."""
+    if s2d > 1:
+        if norm_type in ("none", None):
+            return h
+        assert norm_type == "instance", \
+            f"s2d execution space supports instance/none norms, got {norm_type}"
+        from ganslate_tpu.ops.s2d_space import group_instance_norm
+        return group_instance_norm(h, channels, s2d ** (h.ndim - 2))
+    return get_norm_layer(norm_type)()(h)
 
 
 def get_norm_layer(norm_type: str = "instance"):

@@ -437,3 +437,58 @@ def test_stride1_replicate_pad_transform(rng, k):
     ref, got = run(x, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_inverse", [False, True])
+def test_piresnet3d_s2d_exec_matches_plain(rng, use_inverse):
+    """Piresnet3D (RevGAN's generator: replicate-pad k5/k3 convs, k3s2 down,
+    k3s2p1op1 up, replicate-pad coupling cores) under s2d execution == plain
+    with the same parameters, both directions."""
+    from ganslate_tpu.nn.generators import Piresnet3D
+
+    kw = dict(in_channels=1, out_channels=1, depth=2,
+              first_layer_channels=4, use_memory_saving=False,
+              use_inverse=use_inverse)
+    plain = Piresnet3D(**kw)
+    s2d = Piresnet3D(use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        params = plain.init(jax.random.key(0), x)
+        outs = [plain.apply(params, x), s2d.apply(params, x)]
+        if use_inverse:
+            outs += [plain.apply(params, x, inverse=True),
+                     s2d.apply(params, x, inverse=True)]
+        return outs
+
+    outs = run(x)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
+                               atol=2e-3, rtol=1e-3)
+    if use_inverse:
+        np.testing.assert_allclose(np.asarray(outs[3]), np.asarray(outs[2]),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_piresnet3d_s2d_memory_saving_gradients(rng):
+    """Recompute-by-inverse VJP through the s2d Piresnet core == plain grads."""
+    from ganslate_tpu.nn.generators import Piresnet3D
+
+    kw = dict(in_channels=1, out_channels=1, depth=2,
+              first_layer_channels=4, use_inverse=False)
+    plain = Piresnet3D(use_memory_saving=False, **kw)
+    s2d = Piresnet3D(use_memory_saving=True, use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 1)).astype(np.float32))
+
+    @jax.jit
+    def grads(x):
+        params = plain.init(jax.random.key(0), x)
+        g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(s2d.apply(p, x) ** 2))(params)
+        return g1, g2
+
+    g1, g2 = grads(x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-3)
