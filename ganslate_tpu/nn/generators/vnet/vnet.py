@@ -23,12 +23,10 @@ from flax import linen as nn
 
 from ganslate_tpu.nn.attention import SelfAttentionBlock
 from ganslate_tpu.nn.invertible import InvertibleSequence
-from ganslate_tpu.nn.layers import (Conv, ConvTranspose, PReLU, get_norm_layer,
+from ganslate_tpu.nn.layers import (Conv, ConvTranspose, PReLU,
+                                    apply_norm_s2d as _apply_norm,
                                     is_bias_before_norm, make_initializer)
 from ganslate_tpu.nn.separable import SeparableConv3d, SeparableConvTranspose3d
-
-
-from ganslate_tpu.nn.layers import apply_norm_s2d as _apply_norm
 
 
 def _conv(is_separable, spatial_dims, s2d=0):

@@ -131,7 +131,9 @@ def polyphase_conv_transpose(x: jax.Array, kernel: jax.Array,
         pads.append((L, max(0, right)))
 
     kt = transform_kernel(kernel, s, p).astype(x.dtype)
-    spatial = "DHW"[3 - n:] if n <= 3 else None
+    if n > 3:
+        raise ValueError(f"polyphase_conv_transpose supports rank <= 3, got {n}")
+    spatial = "DHW"[3 - n:]
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
     y = jax.lax.conv_general_dilated(x, kt, (1,) * n, pads,

@@ -101,6 +101,33 @@ def decode(x: jax.Array, c: int, r: int = 2) -> jax.Array:
 # ------------------------------------------------------------ kernel maps
 
 
+def _apply_plan(kernel: jax.Array, plans, r: int) -> jax.Array:
+    """Gather-transform a canonical kernel by per-dim (u, valid) plans:
+    for each spatial dim, expand tap axis k_i -> (A_i, r, r) via index map u
+    (masked by `valid`), then collect to c-major
+    (a1..an, C*r^n, O*r^n). Shared by the stride-1 / strided-down /
+    general-up transforms, which differ only in their plan derivation."""
+    n = kernel.ndim - 2
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+
+    kr = kernel
+    for i, (u, valid) in enumerate(plans):
+        ax = 3 * i
+        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+
+    # (a1,d1,p1, ..., an,dn,pn, C, O) -> (a1..an, C, d1..dn, O, p1..pn)
+    perm = ([3 * i for i in range(n)] + [3 * n] + [3 * i + 1 for i in range(n)]
+            + [3 * n + 1] + [3 * i + 2 for i in range(n)])
+    kr = kr.transpose(perm)
+    kas = kr.shape[:n]
+    rn = r ** n
+    return kr.reshape(*kas, c_in * rn, c_out * rn)
+
+
 @lru_cache(maxsize=None)
 def _stride1_plan(k: int, r: int, pad: int) \
         -> Tuple[np.ndarray, np.ndarray, int, int]:
@@ -132,26 +159,9 @@ def transform_stride1_kernel(kernel: jax.Array, r: int = 2,
     that divide r)."""
     n = kernel.ndim - 2
     ks = kernel.shape[:n]
-    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
-
-    kr = kernel
-    for i in range(n):
-        p_i = ks[i] // 2 if pad is None else pad
-        u, valid, _, _ = _stride1_plan(ks[i], r, p_i)
-        ax = 3 * i
-        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
-        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
-        mshape = [1] * kr.ndim
-        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
-        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
-
-    # (a1,d1,p1, ..., an,dn,pn, C, O) -> (a1..an, C, d1..dn, O, p1..pn)
-    perm = ([3 * i for i in range(n)] + [3 * n] + [3 * i + 1 for i in range(n)]
-            + [3 * n + 1] + [3 * i + 2 for i in range(n)])
-    kr = kr.transpose(perm)
-    kas = kr.shape[:n]
-    rn = r ** n
-    return kr.reshape(*kas, c_in * rn, c_out * rn)
+    plans = [_stride1_plan(ks[i], r, ks[i] // 2 if pad is None else pad)[:2]
+             for i in range(n)]
+    return _apply_plan(kernel, plans, r)
 
 
 def stride1_pads(k: int, r: int = 2, pad: Optional[int] = None) \
@@ -320,34 +330,15 @@ def transform_strided_kernel(kernel: jax.Array, r: int = 2,
     the s2d grid with the explicit padding from `strided_pads`."""
     n = kernel.ndim - 2
     ks = kernel.shape[:n]
-    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
-
-    kr = kernel
-    for i in range(n):
-        u, valid, _, _ = _strided_plan(ks[i], r, pad)
-        ax = 3 * i
-        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
-        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
-        mshape = [1] * kr.ndim
-        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
-        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
-
-    # (a1,d1,p1, ..., an,dn,pn, C, O) -> (a1..an, C, d1..dn, O, p1..pn)
-    perm = ([3 * i for i in range(n)] + [3 * n] + [3 * i + 1 for i in range(n)]
-            + [3 * n + 1] + [3 * i + 2 for i in range(n)])
-    kr = kr.transpose(perm)
-    kas = kr.shape[:n]
-    rn = r ** n
-    return kr.reshape(*kas, c_in * rn, c_out * rn)
+    plans = [_strided_plan(ks[i], r, pad)[:2] for i in range(n)]
+    return _apply_plan(kernel, plans, r)
 
 
-def strided_pads(k: int, r: int = 2, pad: int = 0,
-                 in_cells: Optional[int] = None) -> Tuple[int, int]:
+def strided_pads(k: int, r: int, pad: int, in_cells: int) -> Tuple[int, int]:
     """(pad_lo, pad_hi) for `transform_strided_kernel`'s stride-r conv.
-    pad_hi needs the input cell count to cover the final window."""
+    pad_hi needs the input cell count to cover the final window (a default
+    would silently under-pad the far side for some input lengths)."""
     u, _, lo, amax = _strided_plan(k, r, pad)
-    if in_cells is None:
-        return lo, max(0, amax)
     out_orig = (in_cells * r + 2 * pad - k) // r + 1
     q_cells = -(-out_orig // r)
     hi = max(0, r * (q_cells - 1) + amax - (in_cells - 1))
@@ -387,24 +378,8 @@ def transform_up_general_kernel(kernel: jax.Array, r: int = 2,
     Resnet3D's k3 s2 p1 op1 upsamplers; subsumes the k=s=r case)."""
     n = kernel.ndim - 2
     ks = kernel.shape[:n]
-    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
-
-    kr = kernel
-    for i in range(n):
-        u, valid, _ = _up_general_plan(ks[i], r, pad)
-        ax = 3 * i
-        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
-        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
-        mshape = [1] * kr.ndim
-        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
-        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
-
-    perm = ([3 * i for i in range(n)] + [3 * n] + [3 * i + 1 for i in range(n)]
-            + [3 * n + 1] + [3 * i + 2 for i in range(n)])
-    kr = kr.transpose(perm)
-    kas = kr.shape[:n]
-    rn = r ** n
-    return kr.reshape(*kas, c_in * rn, c_out * rn)
+    plans = [_up_general_plan(ks[i], r, pad)[:2] for i in range(n)]
+    return _apply_plan(kernel, plans, r)
 
 
 def up_general_pads(k: int, r: int, pad: int, output_padding: int,
