@@ -126,14 +126,19 @@ class Conv(nn.Module):
                 y = s2d_conv(xp, kernel, self.s2d_factor)
                 return y + bias.astype(y.dtype) if bias is not None else y
 
-        spatial = "DHW"[3 - n:]
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape,
-            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
-        y = jax.lax.conv_general_dilated(
-            x, kernel, strides, lax_padding,
-            feature_group_count=self.feature_group_count,
-            dimension_numbers=dn)
+        from ganslate_tpu.ops.batch_fold import conv_batch_folded, foldable
+        if foldable(x.shape, strides, lax_padding, k[0]):
+            y = conv_batch_folded(x, kernel, strides, lax_padding,
+                                  self.feature_group_count)
+        else:
+            spatial = "DHW"[3 - n:]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape,
+                (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+            y = jax.lax.conv_general_dilated(
+                x, kernel, strides, lax_padding,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=dn)
         return y + bias.astype(y.dtype) if bias is not None else y
 
     def _call_s2d(self, x: Array, n, k, pad, strides) -> Array:
@@ -180,11 +185,16 @@ class Conv(nn.Module):
                 f"s2d execution space: unsupported conv geometry k={k} "
                 f"s={strides} p={pad} pad_mode={self.pad_mode}")
 
-        spatial = "DHW"[3 - n:]
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
-        y = jax.lax.conv_general_dilated(x, kt, conv_strides, pads,
-                                         dimension_numbers=dn)
+        from ganslate_tpu.ops.batch_fold import conv_batch_folded, foldable
+        if foldable(x.shape, conv_strides, pads, kt.shape[0]):
+            y = conv_batch_folded(x, kt, conv_strides, pads)
+        else:
+            spatial = "DHW"[3 - n:]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kt.shape,
+                (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+            y = jax.lax.conv_general_dilated(x, kt, conv_strides, pads,
+                                             dimension_numbers=dn)
         if bias is not None:
             y = y + jnp.repeat(bias, rn).astype(y.dtype)
         return y
@@ -284,6 +294,13 @@ class ConvTranspose(nn.Module):
             pads = [(r - 1, r - 1)] * n
         else:
             # General geometry (e.g. Piresnet/Resnet3D k3 s2 p1 op1).
+            for i in range(n):
+                out_orig = (x.shape[1 + i] * r - 1) * r - 2 * p[0] + k[0] + op[0]
+                if out_orig % r:
+                    raise ValueError(
+                        f"s2d ConvTranspose: original output extent {out_orig} "
+                        f"(dim {i}) must divide r={r}, else the last s2d cell "
+                        f"carries garbage trailing phases")
             kt = sp.transform_up_general_kernel(kernel.astype(x.dtype), r, p[0])
             pads = [sp.up_general_pads(k[0], r, p[0], op[0], x.shape[1 + i])
                     for i in range(n)]

@@ -1,0 +1,67 @@
+"""Batch-fold lowering for small-spatial-grid convs.
+
+XLA:TPU tiles 3D convs poorly when the per-sample spatial grid is tiny (the
+deep V-Net levels under the s2d execution space: (4,22,22) runs at 27.7% of
+MXU peak, (2,11,11) at 4.8% — measured, docs/benchmarks.md). Folding the
+batch into the leading spatial dim with a (pad_lo+pad_hi)-zero gap between
+samples gives XLA one long depth extent to tile, and is EXACT: the gap zeros
+are precisely each sample's own zero padding, so every dot product is
+unchanged — output row `s*dd + j` of the folded conv equals sample s's
+output row j.
+
+Measured at the sliding-window bench shapes (batch 28, slope-timed):
+(4,22,22)x512 lanes 14.08 -> 7.65 ms, (2,11,11)x512 10.25 -> 6.12 ms;
+HURTS at (8,44,44) (10.6 -> 18.3 ms) — hence the cell-count threshold.
+
+Replaces nothing in the reference (it has no TPU lowering concerns); used by
+nn.layers.Conv for any rank-3 stride-1 zero-pad conv under the threshold.
+"""
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Fold when the per-sample spatial grid has at most this many cells.
+# (4,22,22)=1936 folds (1.8x measured win), (8,44,44)=15488 must not
+# (1.7x measured loss); anything in the gap is untested territory kept
+# conservative.
+FOLD_MAX_CELLS = 4096
+
+
+def foldable(x_shape: Sequence[int], strides: Sequence[int],
+             pads: Sequence[Tuple[int, int]], tap_extent_d: int) -> bool:
+    """Rank-3, stride-1 depth, batch > 1, small grid, and the depth padding
+    must equal the tap extent minus one (true for every SAME-style stride-1
+    conv) so folded output rows realign to samples."""
+    if len(x_shape) != 5 or x_shape[0] <= 1:
+        return False
+    d, h, w = x_shape[1:4]
+    if d * h * w > FOLD_MAX_CELLS:
+        return False
+    lo, hi = pads[0]
+    return strides[0] == 1 and lo + hi == tap_extent_d - 1
+
+
+def conv_batch_folded(x: jax.Array, kernel: jax.Array,
+                      strides: Sequence[int],
+                      pads: Sequence[Tuple[int, int]],
+                      feature_group_count: int = 1) -> jax.Array:
+    """`lax.conv_general_dilated` (NDHWC/DHWIO) with the batch folded into
+    depth. Caller must have checked `foldable`."""
+    n_samples, d, h, w, c = x.shape
+    taps_d = kernel.shape[0]
+    lo, hi = pads[0]
+    dd = d + lo + hi
+
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
+    xf = xp.reshape(1, n_samples * dd, h, w, c)
+    dn = jax.lax.conv_dimension_numbers(
+        xf.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(
+        xf, kernel, tuple(strides), [(0, 0), tuple(pads[1]), tuple(pads[2])],
+        feature_group_count=feature_group_count, dimension_numbers=dn)
+    # Folded output row s*dd + j is sample s's row j (valid for j < d).
+    y = jnp.pad(y[0], ((0, taps_d - 1), (0, 0), (0, 0), (0, 0)))
+    oh, ow, oc = y.shape[1:]
+    return y.reshape(n_samples, dd, oh, ow, oc)[:, :d]

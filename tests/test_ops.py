@@ -91,3 +91,61 @@ def test_3d_volumes():
     got = in_mod.instance_norm(x)
     want = naive_instance_norm(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+# ------------------------------------------------------- batch-fold lowering
+
+
+def test_batch_fold_exact_stride1():
+    """Folded conv == direct conv for stride-1 zero-pad rank-3 convs,
+    symmetric and asymmetric depth pads."""
+    from ganslate_tpu.ops import batch_fold as bf
+
+    rng = np.random.default_rng(0)
+    for pads in ([(1, 1), (1, 1), (1, 1)], [(0, 1), (1, 1), (0, 1)]):
+        taps = pads[0][0] + pads[0][1] + 1
+        x = jnp.asarray(rng.normal(size=(5, 4, 6, 7, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(taps, taps, taps, 8, 16))
+                        .astype(np.float32))
+        assert bf.foldable(x.shape, (1, 1, 1), pads, taps)
+        got = jax.jit(lambda x, k: bf.conv_batch_folded(
+            x, k, (1, 1, 1), pads))(x, k)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        want = jax.lax.conv_general_dilated(x, k, (1, 1, 1), pads,
+                                            dimension_numbers=dn)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+
+def test_batch_fold_threshold_and_guards():
+    from ganslate_tpu.ops import batch_fold as bf
+
+    # big grids and batch-1 must not fold; strided depth must not fold
+    assert not bf.foldable((4, 16, 44, 44, 8), (1, 1, 1), [(1, 1)] * 3, 3)
+    assert not bf.foldable((1, 4, 8, 8, 8), (1, 1, 1), [(1, 1)] * 3, 3)
+    assert not bf.foldable((4, 4, 8, 8, 8), (2, 1, 1), [(1, 1)] * 3, 3)
+    assert not bf.foldable((4, 4, 8, 8, 8), (1, 1, 1), [(0, 0)] * 3, 3)
+
+
+def test_batch_fold_inside_s2d_conv():
+    """The s2d Conv path produces identical results whether or not the
+    fold threshold admits its grid (same params, same input)."""
+    from ganslate_tpu.nn.layers import Conv
+    from ganslate_tpu.ops import batch_fold as bf
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 4, 4, 4, 16 * 8)).astype(np.float32))
+    conv = Conv(16, (5, 5, 5), padding=2, s2d_space=2)
+    params = jax.jit(conv.init)(jax.random.key(0), x)
+    y_folded = jax.jit(conv.apply)(params, x)
+
+    orig = bf.FOLD_MAX_CELLS
+    bf.FOLD_MAX_CELLS = 0
+    try:
+        y_plain = jax.jit(conv.apply)(params, x)
+    finally:
+        bf.FOLD_MAX_CELLS = orig
+    np.testing.assert_allclose(np.asarray(y_folded), np.asarray(y_plain),
+                               atol=1e-4)
