@@ -15,6 +15,29 @@ import types
 _REFERENCE_ROOT = "/root/reference"
 
 
+class RefConf(dict):
+    """Attribute+item dict standing in for an OmegaConf DictConfig in the
+    reference's code paths (conf.a.b, conf['a'], dict(node), iteration).
+    Registered as `omegaconf.dictconfig.DictConfig` so the reference
+    builders' isinstance checks (builders.py:117,126) route dict-valued
+    `in_out_channels`/`in_channels` through the per-direction branch."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    @classmethod
+    def create(cls, tree):
+        if isinstance(tree, dict):
+            return cls({k: cls.create(v) for k, v in tree.items()})
+        return tree
+
+
 def _install_stubs():
     if "omegaconf" not in sys.modules:
         from ganslate_tpu.configs import omega
@@ -22,6 +45,14 @@ def _install_stubs():
         fake.MISSING = omega.MISSING
         fake.II = omega.II
         sys.modules["omegaconf"] = fake
+    fake = sys.modules["omegaconf"]
+    if not hasattr(fake, "dictconfig"):
+        dictconfig = types.ModuleType("omegaconf.dictconfig")
+        dictconfig.DictConfig = RefConf
+        fake.dictconfig = dictconfig
+        fake.DictConfig = RefConf
+        fake.OmegaConf = type("OmegaConf", (), {})
+        sys.modules["omegaconf.dictconfig"] = dictconfig
 
     import torch
     import torch.nn as nn
@@ -70,6 +101,19 @@ def _install_stubs():
         memcnn.InvertibleModuleWrapper = InvertibleModuleWrapper
         sys.modules["memcnn"] = memcnn
 
+    if "torchvision" not in sys.modules:
+        # Not installed here; only reached through the reference data plane's
+        # module-level imports (data/utils/transforms.py:4-5), which the
+        # network/GAN parity tests never execute.
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv_f = types.ModuleType("torchvision.transforms.functional")
+        tv_t.functional = tv_f
+        tv.transforms = tv_t
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_t
+        sys.modules["torchvision.transforms.functional"] = tv_f
+
     if "loguru" not in sys.modules:
         loguru = types.ModuleType("loguru")
         loguru.logger = logging.getLogger("loguru")
@@ -100,6 +144,51 @@ def _install_stubs():
         monai.transforms = monai_t
         sys.modules["monai"] = monai
         sys.modules["monai.transforms"] = monai_t
+
+
+class _lenient_dataclasses:
+    """Context manager: the reference targets Python 3.7 dataclasses, which
+    allowed mutable (nested-dataclass) class-attribute defaults; 3.12 raises.
+    While active, `dataclasses.dataclass` rewrites such defaults to
+    deepcopy default_factories, so the reference config modules import
+    unchanged."""
+
+    def __enter__(self):
+        import copy
+        import dataclasses as dc
+        self._dc, self._orig = dc, dc.dataclass
+
+        def lenient(cls=None, **kw):
+            def wrap(c):
+                for name in getattr(c, "__annotations__", {}):
+                    if name in c.__dict__:
+                        v = c.__dict__[name]
+                        if v.__class__.__hash__ is None:
+                            setattr(c, name, dc.field(
+                                default_factory=lambda v=v: copy.deepcopy(v)))
+                return self._orig(c, **kw)
+            return wrap if cls is None else wrap(cls)
+
+        dc.dataclass = lenient
+        return self
+
+    def __exit__(self, *exc):
+        self._dc.dataclass = self._orig
+
+
+def load_reference_gans():
+    """Returns the reference GAN training algorithms (CycleGAN, Pix2Pix) —
+    the REAL `optimize_parameters` code paths
+    (/root/reference/ganslate/nn/gans/unpaired/cyclegan.py:92-123,
+    paired/pix2pix.py:76-143) — importable with the stubs installed, for
+    lockstep training-dynamics parity tests."""
+    _install_stubs()
+    if _REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, _REFERENCE_ROOT)
+    with _lenient_dataclasses():
+        from ganslate.nn.gans.paired.pix2pix import Pix2PixConditionalGAN
+        from ganslate.nn.gans.unpaired.cyclegan import CycleGAN
+    return {"CycleGAN": CycleGAN, "Pix2Pix": Pix2PixConditionalGAN}
 
 
 def load_reference_nn():

@@ -1,0 +1,294 @@
+"""LOCKSTEP training-dynamics parity vs the in-process reference.
+
+The strongest correctness claim the framework makes is that ONE fused jitted
+train step reproduces ONE reference `optimize_parameters` call
+(/root/reference/ganslate/nn/gans/unpaired/cyclegan.py:92-123,
+/root/reference/ganslate/nn/gans/paired/pix2pix.py:76-103). This test proves
+it end to end: the REAL reference CycleGAN / Pix2Pix classes (imported with
+stubs, tests/reference_torch.py) and our models start from identical weights
+(via the torch-checkpoint importer), see identical batches (pool_size=0,
+no dropout, f32), and must produce matching per-loss values every iteration
+and matching parameters after several Adam updates — which also pins the
+optax-vs-torch Adam semantics (eps placement, bias correction) and the
+update order (G first, then D on pre-update fakes).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ganslate_tpu.configs.config import Config
+from ganslate_tpu.configs.omega import Conf
+from ganslate_tpu.configs.utils import init_config
+from ganslate_tpu.utils.builders import build_gan
+from ganslate_tpu.utils.torch_import import (convert_state_dict,
+                                             flax_param_spec,
+                                             import_torch_checkpoint)
+
+from .reference_torch import RefConf, load_reference_gans
+
+torch = pytest.importorskip("torch")
+
+N_STEPS = 5
+IMG = 32
+BATCH = 2
+CH = 3
+
+
+def _to_torch(x):
+    perm = (0, x.ndim - 1, *range(1, x.ndim - 1))
+    return torch.tensor(np.transpose(x, perm))
+
+
+def _batches(seed, n):
+    rng = np.random.default_rng(seed)
+    return [{k: rng.uniform(-1, 1, (BATCH, IMG, IMG, CH)).astype(np.float32)
+             for k in ("A", "B")} for _ in range(n)]
+
+
+def _ref_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
+    """Config tree shaped exactly like the reference's resolved OmegaConf
+    (only the keys its CycleGAN/Pix2Pix code paths read)."""
+    return RefConf.create({
+        "mode": "train",
+        "train": {
+            "output_dir": str(tmp_path),
+            "cuda": False,
+            "mixed_precision": False,
+            "batch_size": BATCH,
+            "n_iters": 100,
+            "n_iters_decay": 100,
+            "checkpointing": {"load_iter": 0},
+            "metrics": {"discriminator_evolution": False, "ssim": False},
+            "gan": {
+                "_target_": gan_target,
+                "norm_type": "instance",
+                "weight_init_type": "normal",
+                "weight_init_gain": 0.02,
+                "pool_size": 0,
+                "optimizer": {
+                    "adversarial_loss_type": "lsgan",
+                    "beta1": 0.5, "beta2": 0.999,
+                    "lr_D": 2e-4, "lr_G": 2e-4,
+                    **optimizer_extras,
+                },
+                "generator": {
+                    "_target_": "ganslate.nn.generators.Resnet2D",
+                    "n_residual_blocks": 1,
+                    "in_out_channels": {"AB": [CH, CH], "BA": [CH, CH]},
+                },
+                "discriminator": {
+                    "_target_": "ganslate.nn.discriminators.PatchGAN2D",
+                    "in_channels": d_in_channels,
+                    "ndf": 16, "n_layers": 2, "kernel_size": [4, 4],
+                },
+            },
+        },
+    })
+
+
+def _our_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
+    raw = {
+        "train": {
+            "output_dir": str(tmp_path),
+            "batch_size": BATCH,
+            "cuda": False,
+            "mixed_precision": False,
+            "n_iters": 100,
+            "n_iters_decay": 100,
+            "logging": {"freq": 1000000},
+            "checkpointing": {"freq": 1000000},
+            "dataset": {
+                "_target_": "ganslate.data.UnpairedImageDataset",
+                "root": str(tmp_path),
+                "num_workers": 0,
+                "image_channels": CH,
+                "preprocess": ["resize"],
+                "load_size": [IMG, IMG],
+                "final_size": [IMG, IMG],
+            },
+            "gan": {
+                "_target_": gan_target,
+                "pool_size": 0,
+                "generator": {
+                    "_target_": "ganslate.nn.generators.Resnet2D",
+                    "n_residual_blocks": 1,
+                    "in_out_channels": {"AB": [CH, CH]},
+                },
+                "discriminator": {
+                    "_target_": "ganslate.nn.discriminators.PatchGAN2D",
+                    "ndf": 16, "n_layers": 2,
+                    "in_channels": d_in_channels,
+                },
+                "optimizer": {
+                    "lr_D": 2e-4, "lr_G": 2e-4,
+                    **optimizer_extras,
+                },
+            },
+            "seed": 0,
+        },
+    }
+    if "pix2pix" in gan_target:
+        raw["train"]["gan"].pop("pool_size")
+    return init_config(Conf.create(raw), config_class=Config)
+
+
+def _perturbed_twin(ref_cls, conf, ckpt, eps=1e-7):
+    """A second reference model from the SAME checkpoint with an eps
+    perturbation — the CHAOS CONTROL. GAN training under Adam amplifies any
+    initial difference exponentially (m/(sqrt(v)+eps) sign-flips near-zero
+    gradient entries by +-lr, and the adversarial dynamics feed differences
+    back), so torch-vs-torch with an f32-roundoff-sized perturbation
+    measures the tightest drift ANY exact reimplementation could achieve.
+    The lockstep assertions bound our drift by a small factor of this floor."""
+    twin = ref_cls(conf)
+    state = torch.load(ckpt, map_location="cpu", weights_only=True)
+    g = torch.Generator().manual_seed(1234)
+    with torch.no_grad():
+        for name, net in twin.networks.items():
+            net.load_state_dict(state[name])
+            for p in net.parameters():
+                p.add_(torch.randn(p.shape, generator=g) * eps)
+    return twin
+
+
+def _flat_param_diff(our_model, ref_model, batch_spec):
+    """|ours - ref| over every parameter entry, via the import converter."""
+    diffs = []
+    for name, module in our_model.networks.items():
+        dummy = our_model._dummy_input(
+            name, {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                   for k, v in batch_spec.items()})
+        spec = flax_param_spec(module, jax.ShapeDtypeStruct(dummy.shape,
+                                                            np.float32))
+        ref_params = convert_state_dict(ref_model.networks[name].state_dict(),
+                                        spec)
+        ours = jax.device_get(our_model.state.params[name])
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
+        flat_our = dict(jax.tree_util.tree_leaves_with_path(ours))
+        assert len(flat_ref) == len(flat_our)
+        diffs.extend(np.abs(np.ravel(flat_our[path] - leaf))
+                     for path, leaf in flat_ref)
+    return np.concatenate(diffs)
+
+
+def _torch_param_diff(a_model, b_model):
+    return np.concatenate(
+        [np.abs((pa - pb).detach().numpy().ravel())
+         for name in a_model.networks
+         for pa, pb in zip(a_model.networks[name].parameters(),
+                           b_model.networks[name].parameters())])
+
+
+def _lockstep(tmp_path, ref_cls, ref_model, twin_conf, our_model, batches,
+              loss_names):
+    """Iteration 0 is deterministic forward+loss math: compared TIGHT
+    (rtol 2e-4) — it fails on any wrong loss weighting, norm semantics, or
+    data handling. Later iterations and final parameters are compared
+    against the chaos-control floor (see `_perturbed_twin`) — they fail on
+    anything systematic: wrong update order, wrong Adam bias
+    correction/eps, wrong LR schedule."""
+    # ---- identical starting weights: reference checkpoint -> importer.
+    ref_model.save_checkpoint(0)
+    ckpt = os.path.join(str(tmp_path), "checkpoints/0.pth")
+    import_torch_checkpoint(ckpt, our_model, example_batch=batches[0])
+    twin = _perturbed_twin(ref_cls, twin_conf, ckpt)
+
+    for i, batch in enumerate(batches):
+        tbatch = {"A": _to_torch(batch["A"]), "B": _to_torch(batch["B"])}
+        ref_model.set_input(tbatch)
+        ref_model.optimize_parameters()
+        ref_losses = {k: float(v.detach()) for k, v in ref_model.losses.items()
+                      if v is not None}
+
+        twin.set_input(tbatch)
+        twin.optimize_parameters()
+        twin_losses = {k: float(v.detach()) for k, v in twin.losses.items()
+                       if v is not None}
+
+        our_model.set_input(batch)
+        our_model.optimize_parameters()
+        our_losses = {k: float(v) for k, v in our_model.losses.items()}
+
+        for name in loss_names:
+            assert name in ref_losses and name in our_losses, \
+                (name, sorted(ref_losses), sorted(our_losses))
+            # chaos floor at this iteration, from torch-vs-perturbed-torch
+            floor = abs(twin_losses[name] - ref_losses[name])
+            tol = max(2e-4 * max(1.0, abs(ref_losses[name])), 30.0 * floor)
+            assert abs(our_losses[name] - ref_losses[name]) <= tol, \
+                f"loss `{name}` diverged at lockstep iteration {i}: " \
+                f"ours {our_losses[name]:.6f} vs ref {ref_losses[name]:.6f} " \
+                f"(chaos floor {floor:.2e}, tol {tol:.2e})"
+
+    # ---- parameters after N Adam updates: bounded by the chaos floor.
+    diffs = _flat_param_diff(our_model, ref_model, batches[0])
+    floor = _torch_param_diff(twin, ref_model)
+    for q in (0.5, 0.99):
+        ours_q, floor_q = np.quantile(diffs, q), np.quantile(floor, q)
+        assert ours_q <= max(10.0 * floor_q, 1e-7), \
+            f"p{int(q*100)} param drift {ours_q:.2e} exceeds 10x the " \
+            f"torch-vs-perturbed-torch chaos floor {floor_q:.2e} " \
+            f"after {N_STEPS} steps — systematic optimizer mismatch"
+    assert diffs.max() <= max(10.0 * floor.max(), 1e-6), \
+        f"max param drift {diffs.max():.2e} vs chaos floor {floor.max():.2e}"
+
+
+@pytest.mark.parametrize("proportion_ssim", [0.0, 0.84],
+                         ids=["l1_cycle", "ssim_cycle"])
+def test_cyclegan_lockstep(tmp_path, proportion_ssim):
+    os.environ.pop("WORLD_SIZE", None)
+    opt = {"lambda_AB": 10.0, "lambda_BA": 10.0, "lambda_identity": 0.0,
+           "proportion_ssim": proportion_ssim}
+    ref_cls = load_reference_gans()["CycleGAN"]
+    ref_conf = _ref_conf(tmp_path, "x.CycleGAN", opt, {"B": CH, "A": CH})
+    ref = ref_cls(ref_conf)
+
+    conf = _our_conf(tmp_path, "ganslate.nn.gans.unpaired.CycleGAN", opt, {"B": CH})
+    ours = build_gan(conf)
+    batches = _batches(0, N_STEPS)
+    ours.setup(example_batch=batches[0])
+
+    _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
+              loss_names=["G_AB", "G_BA", "cycle_A", "cycle_B", "D_A", "D_B"])
+
+
+def test_cyclegan_lockstep_identity(tmp_path):
+    """λ_idt > 0 exercises the identity forwards + the reference's double
+    λ weighting quirk (cyclegan_losses.py:49-51 applies λ_AB·λ_idt)."""
+    os.environ.pop("WORLD_SIZE", None)
+    opt = {"lambda_AB": 10.0, "lambda_BA": 10.0, "lambda_identity": 0.5,
+           "proportion_ssim": 0.0}
+    ref_cls = load_reference_gans()["CycleGAN"]
+    ref_conf = _ref_conf(tmp_path, "x.CycleGAN", opt, {"B": CH, "A": CH})
+    ref = ref_cls(ref_conf)
+
+    conf = _our_conf(tmp_path, "ganslate.nn.gans.unpaired.CycleGAN", opt, {"B": CH})
+    ours = build_gan(conf)
+    batches = _batches(1, N_STEPS)
+    ours.setup(example_batch=batches[0])
+
+    _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
+              loss_names=["G_AB", "G_BA", "cycle_A", "cycle_B",
+                          "idt_A", "idt_B", "D_A", "D_B"])
+
+
+def test_pix2pix_lockstep(tmp_path):
+    os.environ.pop("WORLD_SIZE", None)
+    opt = {"lambda_pix2pix": 100.0}
+    ref_cls = load_reference_gans()["Pix2Pix"]
+    # Conditional D sees cat([real_A, x]): in_channels = ch_A + ch_B.
+    ref_conf = _ref_conf(tmp_path, "x.Pix2Pix", opt, {"B": 2 * CH})
+    ref = ref_cls(ref_conf)
+
+    conf = _our_conf(tmp_path, "ganslate.nn.gans.paired.Pix2PixConditionalGAN",
+                     opt, {"B": 2 * CH})
+    ours = build_gan(conf)
+    batches = _batches(2, N_STEPS)
+    ours.setup(example_batch=batches[0])
+
+    _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
+              loss_names=["G", "pix2pix", "D"])
