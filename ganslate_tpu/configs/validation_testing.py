@@ -52,6 +52,14 @@ class BaseValTestMetricsConfig:
     nmi: bool = False
     # Chi-squared histogram distance.
     histogram_chi2: bool = False
+    # Fréchet Inception Distance over the whole val/test set (beyond the
+    # reference, BASELINE.md north star). Needs `fid_weights`: a torchvision
+    # inception_v3 state_dict (.pth) — see nn/inception.py for how to
+    # produce one. Computed per dataset at the end of the loop from the
+    # accumulated real/fake batches (2D natural images; for 1-channel data
+    # the channel is repeated).
+    fid: bool = False
+    fid_weights: Optional[str] = None
 
 
 @dataclass

@@ -28,6 +28,24 @@ class BaseValTestEngine(BaseEngineWithInference):
         self.tracker = ValTestTracker(self.conf)
         self.metricizer = ValTestMetrics(self.conf)
         self.visuals = {}
+        self.fid = self._init_fid()
+
+    def _init_fid(self):
+        """Standard InceptionV3-pool3 FID over the whole val/test set
+        (config `metrics.fid` + `metrics.fid_weights`; beyond-reference —
+        BASELINE.md north star)."""
+        mconf = self.conf[self.conf.mode].metrics
+        if not getattr(mconf, "fid", False):
+            return None
+        weights = getattr(mconf, "fid_weights", None)
+        assert weights, \
+            ("metrics.fid requires metrics.fid_weights: a torchvision "
+             "inception_v3 state_dict (.pth); see ganslate_tpu/nn/inception.py "
+             "for how to produce one")
+        from ganslate_tpu.nn.inception import (fid_feature_fn,
+                                               load_torch_inception_file)
+        from ganslate_tpu.utils.metrics.fid import FID
+        return FID(fid_feature_fn(load_torch_inception_file(weights)))
 
     def run(self, current_idx=None):
         self.logger.info(
@@ -54,7 +72,18 @@ class BaseValTestEngine(BaseEngineWithInference):
                 metrics = self._calculate_metrics()
                 self.tracker.add_sample(self.visuals, metrics)
 
-            self.tracker.log_samples(current_idx, dataset_name=dataset_name)
+                if self.fid is not None and self.visuals["real_B"].ndim == 4:
+                    # 2D natural-image FID; 3D volumes are skipped (standard
+                    # Inception statistics are meaningless there, fid.py).
+                    self.fid.update(np.asarray(self.visuals["real_B"]), "real")
+                    self.fid.update(np.asarray(self.visuals["fake_B"]), "fake")
+
+            set_metrics = None
+            if self.fid is not None and self.fid._feats["real"]:
+                set_metrics = {"fid": self.fid.compute()}
+                self.fid.reset()
+            self.tracker.log_samples(current_idx, dataset_name=dataset_name,
+                                     set_metrics=set_metrics)
 
         if self.conf.mode == "test":
             self.tracker.close()

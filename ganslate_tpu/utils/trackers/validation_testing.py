@@ -40,7 +40,9 @@ class ValTestTracker(BaseTracker):
         if communication.is_main_process():
             self.metrics.extend(gathered_metrics)
 
-    def log_samples(self, iter_idx, dataset_name=None):
+    def log_samples(self, iter_idx, dataset_name=None, set_metrics=None):
+        """`set_metrics`: dataset-level metrics computed over the whole
+        val/test set (e.g. FID) — merged after per-sample averaging."""
         if not communication.is_main_process():
             self.metrics, self.visuals = [], []
             return
@@ -59,6 +61,8 @@ class ValTestTracker(BaseTracker):
             self.saver.write(Path(self.output_dir) / "metrics.csv")
 
         metrics = {k: float(np.mean(v)) for k, v in metrics_dict.items()}
+        if set_metrics:
+            metrics.update({k: float(v) for k, v in set_metrics.items()})
 
         message = "\n" + 20 * "-" + f" ({self.conf.mode.capitalize()}"
         if iter_idx is not None:
