@@ -31,16 +31,21 @@ FOLD_MAX_CELLS = 4096
 
 def foldable(x_shape: Sequence[int], strides: Sequence[int],
              pads: Sequence[Tuple[int, int]], tap_extent_d: int) -> bool:
-    """Rank-3, stride-1 depth, batch > 1, small grid, and the depth padding
-    must equal the tap extent minus one (true for every SAME-style stride-1
-    conv) so folded output rows realign to samples."""
+    """Rank-3, batch > 1, small grid, and a depth geometry whose folded
+    output rows realign to samples:
+    - stride-1 with depth padding == tap extent - 1 (every SAME-style conv);
+    - stride == tap extent with zero depth padding and divisible depth
+      (the k == s down convs: windows never straddle a sample boundary)."""
     if len(x_shape) != 5 or x_shape[0] <= 1:
         return False
     d, h, w = x_shape[1:4]
     if d * h * w > FOLD_MAX_CELLS:
         return False
     lo, hi = pads[0]
-    return strides[0] == 1 and lo + hi == tap_extent_d - 1
+    if strides[0] == 1:
+        return lo + hi == tap_extent_d - 1
+    return (strides[0] == tap_extent_d and lo == hi == 0
+            and d % strides[0] == 0)
 
 
 def conv_batch_folded(x: jax.Array, kernel: jax.Array,
@@ -61,6 +66,10 @@ def conv_batch_folded(x: jax.Array, kernel: jax.Array,
     y = jax.lax.conv_general_dilated(
         xf, kernel, tuple(strides), [(0, 0), tuple(pads[1]), tuple(pads[2])],
         feature_group_count=feature_group_count, dimension_numbers=dn)
+    if strides[0] > 1:
+        # k == s, pad 0: windows tile samples exactly; direct reshape.
+        oh, ow, oc = y.shape[2:]
+        return y.reshape(n_samples, d // strides[0], oh, ow, oc)
     # Folded output row s*dd + j is sample s's row j (valid for j < d).
     y = jnp.pad(y[0], ((0, taps_d - 1), (0, 0), (0, 0), (0, 0)))
     oh, ow, oc = y.shape[1:]

@@ -19,7 +19,7 @@ import sys
 import numpy as np
 import jax
 
-coordinator, process_id = sys.argv[1], int(sys.argv[2])
+coordinator, process_id, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=coordinator, num_processes=2,
                            process_id=process_id)
@@ -30,9 +30,12 @@ assert jax.local_device_count() == 4
 from ganslate_tpu.utils.builders import build_gan
 from ganslate_tpu.utils.testing import make_cyclegan_conf
 
-conf = make_cyclegan_conf(batch_size=8, image_size=32, channels=1,
-                          n_residual_blocks=1, ngf=8, ndf=8, n_layers_D=1,
-                          pool_size=4, mixed_precision=False)
+# pool_size=0: the image pool is deliberately NOT checkpointed (reference
+# parity — its contents aren't saved there either), so exact resume-replay
+# below needs it off.
+conf = make_cyclegan_conf(output_dir=out_dir, batch_size=8, image_size=32,
+                          channels=1, n_residual_blocks=1, ngf=8, ndf=8,
+                          n_layers_D=1, pool_size=0, mixed_precision=False)
 
 # The GLOBAL batch is 8 samples; each process holds its local half (the
 # loaders shard by process index the same way).
@@ -52,6 +55,28 @@ model.optimize_parameters(sync=True)
 losses = {k: round(float(jax.device_get(v)), 6)
           for k, v in sorted(model.losses.items())}
 print(f"LOSSES {losses}", flush=True)
+
+# ---- multi-host checkpointing: orbax save coordinated across BOTH
+# processes, restore into a FRESH model (load_iter semantics), training
+# continues, and the restored run reproduces the original trajectory.
+model.save_checkpoint(1)
+step2_batch = {k: (v[local] * 0.5).astype(np.float32)
+               for k, v in global_batch.items()}
+model.set_input(step2_batch)
+model.optimize_parameters(sync=True)
+cont_losses = {k: round(float(jax.device_get(v)), 6)
+               for k, v in sorted(model.losses.items())}
+
+conf.train.checkpointing.load_iter = 1
+conf.train.checkpointing.load_optimizers = True
+resumed = build_gan(conf)
+resumed.setup(example_batch=local_batch)
+resumed.set_input(step2_batch)
+resumed.optimize_parameters(sync=True)
+resumed_losses = {k: round(float(jax.device_get(v)), 6)
+                  for k, v in sorted(resumed.losses.items())}
+assert resumed_losses == cont_losses, (resumed_losses, cont_losses)
+print(f"RESUMED {resumed_losses}", flush=True)
 print("CHILD_OK", flush=True)
 """
 
@@ -80,7 +105,8 @@ def test_two_process_data_parallel_train_step(tmp_path):
         log = open(tmp_path / f"proc{pid}.log", "w")
         logs.append(tmp_path / f"proc{pid}.log")
         procs.append(subprocess.Popen(
-            [sys.executable, "-u", "-c", _CHILD, coordinator, str(pid)],
+            [sys.executable, "-u", "-c", _CHILD, coordinator, str(pid),
+             str(tmp_path / "out")],
             cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT))
 
     rcs = [p.wait(timeout=420) for p in procs]
@@ -94,3 +120,9 @@ def test_two_process_data_parallel_train_step(tmp_path):
     loss_lines = [next(l for l in t.splitlines() if l.startswith("LOSSES"))
                   for t in texts]
     assert loss_lines[0] == loss_lines[1], loss_lines
+
+    # ...and the checkpoint-resumed run reproduced the continued trajectory
+    # identically on both controllers (multi-host orbax save + restore).
+    resumed_lines = [next(l for l in t.splitlines() if l.startswith("RESUMED"))
+                     for t in texts]
+    assert resumed_lines[0] == resumed_lines[1], resumed_lines

@@ -149,3 +149,24 @@ def test_batch_fold_inside_s2d_conv():
         bf.FOLD_MAX_CELLS = orig
     np.testing.assert_allclose(np.asarray(y_folded), np.asarray(y_plain),
                                atol=1e-4)
+
+
+def test_batch_fold_exact_strided():
+    """k == s down convs (zero pad) fold exactly."""
+    from ganslate_tpu.ops import batch_fold as bf
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(5, 4, 6, 6, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, 8, 16)).astype(np.float32))
+    pads = [(0, 0)] * 3
+    assert bf.foldable(x.shape, (2, 2, 2), pads, 2)
+    got = jax.jit(lambda x, k: bf.conv_batch_folded(
+        x, k, (2, 2, 2), pads))(x, k)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.lax.conv_general_dilated(x, k, (2, 2, 2), pads,
+                                        dimension_numbers=dn)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # odd depth must not fold with stride 2
+    assert not bf.foldable((5, 5, 6, 6, 8), (2, 2, 2), pads, 2)
