@@ -23,10 +23,14 @@ import jax
 import jax.numpy as jnp
 
 # Fold when the per-sample spatial grid has at most this many cells.
-# (4,22,22)=1936 folds (1.8x measured win), (8,44,44)=15488 must not
-# (1.7x measured loss); anything in the gap is untested territory kept
-# conservative.
-FOLD_MAX_CELLS = 4096
+# ISOLATED convs win big ((4,22,44)x512: 1.8x, (2,11,11)x512: 1.7x,
+# slope-timed) but inside the V-Net coupling scan the fold REGRESSED the
+# full sliding-window bench (1.679 -> 1.513 vols/s: the folded conv also
+# computes the gap rows — +50% depth rows at d=4 — and the per-iteration
+# pad/reshape breaks XLA's scan-body fusion). Default OFF until a
+# gap-persistent level layout amortizes the pad once per level; set > 0 to
+# opt in for scan-free networks.
+FOLD_MAX_CELLS = 0
 
 
 def foldable(x_shape: Sequence[int], strides: Sequence[int],
