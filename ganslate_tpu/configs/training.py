@@ -48,3 +48,12 @@ class TrainConfig(base.BaseEngineConfig):
 
     seed: Optional[int] = None
     metrics: TrainMetricsConfig = field(default_factory=TrainMetricsConfig)
+
+    # Spatially-sharded training (beyond-reference, SURVEY.md 5.7): reserve
+    # this many mesh devices on a `spatial` axis and shard each sample's
+    # FIRST spatial dim across them (the remaining devices form the `data`
+    # axis). XLA/GSPMD inserts the conv halo exchanges and makes
+    # normalization reductions global automatically — gradients are exact vs
+    # unsharded (tests/test_spatial_sharding.py). Lets a full 240^3-class
+    # volume train un-patched on a v5e-8.
+    spatial_mesh: Optional[int] = None

@@ -31,6 +31,11 @@ class Trainer(BaseEngine):
         if self.conf.train.seed:
             environment.set_seed(self.conf.train.seed)
 
+        if getattr(self.conf.train, "spatial_mesh", None):
+            from ganslate_tpu.parallel import mesh as mesh_mod
+            mesh_mod.set_mesh(mesh_mod.make_mesh(
+                {"data": -1, "spatial": int(self.conf.train.spatial_mesh)}))
+
         self.tracker = TrainingTracker(self.conf)
 
         self.data_loader = build_loader(self.conf)

@@ -27,6 +27,12 @@ from flax import linen as nn
 
 from ganslate_tpu.nn.layers import Conv, apply_norm_s2d, is_bias_before_norm
 
+# lax.scan unroll factor for the coupling sequences (trace-time global).
+# unroll > 1 lets XLA fuse across coupling blocks (and makes
+# cost_analysis count every block's FLOPs instead of one body);
+# unroll = 1 keeps compile time and code size minimal.
+SCAN_UNROLL = 1
+
 
 def _split(x):
     half = x.shape[-1] // 2
@@ -61,7 +67,8 @@ def _make_sequence(apply_fn: Callable, reverse_params: bool):
     def sequence(params, x):
         def body(h, p):
             return step_fwd(apply_fn, p, h), None
-        y, _ = jax.lax.scan(body, x, params, reverse=reverse_params)
+        y, _ = jax.lax.scan(body, x, params, reverse=reverse_params,
+                            unroll=SCAN_UNROLL)
         return y
 
     def fwd(params, x):
@@ -82,7 +89,8 @@ def _make_sequence(apply_fn: Callable, reverse_params: bool):
 
         # Walk blocks in the opposite order of the forward scan.
         (_, gx), gparams = jax.lax.scan(body, (y, g), params,
-                                        reverse=not reverse_params)
+                                        reverse=not reverse_params,
+                                        unroll=SCAN_UNROLL)
         return gparams, gx
 
     sequence.defvjp(fwd, bwd)
@@ -167,5 +175,6 @@ class InvertibleSequence(nn.Module):
         step = _coupling_inverse if inverse else _coupling_forward
         def body(h, p):
             return step(apply_fn, p, h), None
-        y, _ = jax.lax.scan(body, x, self.stacked, reverse=inverse)
+        y, _ = jax.lax.scan(body, x, self.stacked, reverse=inverse,
+                            unroll=SCAN_UNROLL)
         return y

@@ -185,6 +185,15 @@ _TILE_BUDGET = 2 * 1024 * 1024
 # topologies; correctness is covered by tests/test_ops.py either way.
 _USE_TILED = False
 
+# Whole-slab Pallas kernel default. Round-2 measurement INSIDE the CycleGAN
+# res-block chain (slope-timed, v5e, bf16 (16,64,64,256)): conv+norm+relu
+# runs at 47.4% of MXU peak with the Pallas kernel vs 67.7% with the XLA
+# form, while the bare conv is 97.5% — the custom call is a fusion BARRIER
+# between the conv and the elementwise tail, costing far more than its
+# saved reduction pass. XLA's two-pass form fuses into both neighbors, so
+# it is the default; flip to re-measure on other topologies.
+_USE_PALLAS = False
+
 
 def _pick_tile(s: int, c: int):
     """Largest spatial tile that divides s, is lane-aligned, and fits the
@@ -198,7 +207,7 @@ def _pick_tile(s: int, c: int):
 
 
 def _use_pallas(x) -> bool:
-    if jax.default_backend() != "tpu":
+    if not _USE_PALLAS or jax.default_backend() != "tpu":
         return False
     s = int(np.prod(x.shape[1:-1]))
     c = x.shape[-1]

@@ -66,6 +66,20 @@ def batch_sharding(mesh: Optional[Mesh] = None, axis: str = "data") -> NamedShar
     return NamedSharding(mesh, P(axis))
 
 
+def _leaf_batch_spec(mesh: Mesh, shape) -> P:
+    """PartitionSpec for one batch leaf: dim 0 over `data`; when the mesh
+    has a `spatial` axis and the first spatial dim divides it, that dim is
+    sharded too — XLA/GSPMD then partitions every conv with automatic halo
+    exchange and globalizes normalization reductions (spatially-sharded
+    training, configs/training.py `spatial_mesh`)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_spatial = sizes.get("spatial", 1)
+    if (n_spatial > 1 and len(shape) >= 3
+            and shape[1] % n_spatial == 0 and shape[1] >= 2 * n_spatial):
+        return P("data", "spatial")
+    return P("data")
+
+
 def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
     mesh = mesh or get_mesh()
     return NamedSharding(mesh, P())
@@ -113,7 +127,6 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     # share vs the local slice of the data axis.
     n_data = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
     n_local = max(1, n_data // jax.process_count())
-    sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
     multiprocess = jax.process_count() > 1
 
@@ -126,6 +139,7 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
                 return x
         else:
             x = np.asarray(x)
+        sharded = NamedSharding(mesh, _leaf_batch_spec(mesh, np.shape(x)))
         # Batches that don't divide the data axis (e.g. single-sample
         # deployment inference) are replicated instead of sharded.
         divisible = np.ndim(x) > 0 and x.shape[0] % n_local == 0

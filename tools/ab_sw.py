@@ -49,6 +49,5 @@ def run(n_vols, fold_cells):
 
 
 if __name__ == "__main__":
-    run(1, 0)
-    run(2, 0)
-    run(1, 512)   # fold only the (2,11,11) level
+    run(3, 0)
+    run(4, 0)
