@@ -12,6 +12,9 @@ class Unet3DConfig(configs.base.BaseGeneratorConfig):
     num_downs: int = 7
     ngf: int = 64
     use_dropout: bool = False
+    # TPU s2d execution space (exact, same checkpoints): fold the outermost
+    # levels whose extents allow it; see nn/generators/unet/unet.py.
+    use_s2d_exec: bool = False
 
 
 class Unet3D(UnetGenerator):
