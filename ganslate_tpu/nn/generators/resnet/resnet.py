@@ -19,8 +19,9 @@ import jax
 from flax import linen as nn
 
 from ganslate_tpu.nn.layers import (Conv, ConvTranspose, NormAct,
-                                    get_norm_layer, is_bias_before_norm,
-                                    make_initializer, pad_spatial)
+                                    apply_norm_s2d, get_norm_layer,
+                                    is_bias_before_norm, make_initializer,
+                                    pad_spatial)
 
 
 class ResidualBlock(nn.Module):
@@ -29,17 +30,23 @@ class ResidualBlock(nn.Module):
     pad_mode: str
     spatial_dims: int
     kernel_init: object
+    s2d: int = 0
 
     @nn.compact
     def __call__(self, x):
         use_bias = is_bias_before_norm(self.norm_type)
         k = (3,) * self.spatial_dims
         h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
-                 kernel_init=self.kernel_init, name="conv1")(x)
-        h = NormAct(self.norm_type, "relu")(h)
+                 kernel_init=self.kernel_init, s2d_space=self.s2d, name="conv1")(x)
+        if self.s2d:
+            h = jax.nn.relu(apply_norm_s2d(self.norm_type, h, self.features,
+                                           self.s2d))
+        else:
+            h = NormAct(self.norm_type, "relu")(h)
         h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
-                 kernel_init=self.kernel_init, name="conv2")(h)
-        h = NormAct(self.norm_type)(h)
+                 kernel_init=self.kernel_init, s2d_space=self.s2d, name="conv2")(h)
+        h = apply_norm_s2d(self.norm_type, h, self.features, self.s2d) \
+            if self.s2d else NormAct(self.norm_type)(h)
         return x + h
 
 
@@ -54,6 +61,14 @@ class ResnetGenerator(nn.Module):
     pad_mode: str = "reflect"
     weight_init_type: str = "normal"
     weight_init_gain: float = 0.02
+    # TPU s2d execution space (exact, same parameters; ops/s2d_space.py):
+    # run the whole network with 2x2x2 blocks folded into channels. 3D only
+    # (2D convs already run at MXU peak) — the 3D ResNet's ReplicationPad is
+    # expressed with edge-phase border cells (replicate_pad_cells). Spatial
+    # extents must divide 8 (two stride-2 levels on r=2 cells). CUT feature
+    # taps are not supported in this mode (tap 0 is the odd-padded tensor,
+    # which has no cell representation) — run plain for CUT.
+    use_s2d_exec: bool = False
 
     # Encoder tap count (torch flattened layer list): 4 initial + 2*3 downs
     # + n res blocks.
@@ -84,18 +99,49 @@ class ResnetGenerator(nn.Module):
             features.append(h)
             return h
 
-        # Initial c7s1-ngf block (pad / conv / norm / relu are separate taps).
-        # s2d_factor stays OFF: in ISOLATION the 7x7 boundary convs run
-        # 2.5-5x faster in space-to-depth form (ops/s2d_conv.py), but in the
-        # fused train program XLA already overlaps them — measured on v5e,
-        # full G fwd 19.5 ms plain vs 20.1 ms with S2D (bench 63.1 vs 62.7
-        # img/s). The exact fast path remains available via Conv(s2d_factor=r)
-        # for topologies where the boundary convs do dominate.
         s2d = 0
-        h = tap(pad_spatial(x, (3,) * self.spatial_dims, self.pad_mode))
-        h = tap(Conv(self.ngf, k7, padding=0, use_bias=use_bias,
-                     kernel_init=init, s2d_factor=s2d, name="initial")(h))
-        h = tap(norm()(h))
+        if self.use_s2d_exec:
+            if self.spatial_dims != 3:
+                raise ValueError("use_s2d_exec is for the 3D ResNet (2D "
+                                 "convs already run at MXU peak)")
+            if self.pad_mode == "reflect":
+                raise ValueError("use_s2d_exec supports zeros/replicate "
+                                 "padding (the 3D reference uses replicate)")
+            if extract_features is not None:
+                raise ValueError("use_s2d_exec does not support CUT feature "
+                                 "taps; run plain execution for CUT")
+            for d in x.shape[1:-1]:
+                if d % 8:
+                    raise ValueError(
+                        f"use_s2d_exec needs spatial extents divisible by 8 "
+                        f"(two stride-2 levels on r=2 cells), got "
+                        f"{x.shape[1:-1]}")
+            from ganslate_tpu.ops.s2d_space import decode, encode
+            s2d = 2
+            x = encode(x, 2)
+
+        def apply_norm(h, channels):
+            if s2d:
+                return apply_norm_s2d(self.norm_type, h, channels, s2d)
+            return norm()(h)
+
+        # Initial c7s1-ngf block (pad / conv / norm / relu are separate taps).
+        # s2d_factor (the materialized-relayout fast path, ops/s2d_conv.py)
+        # stays OFF: in ISOLATION the 7x7 boundary convs run 2.5-5x faster
+        # folded, but in the fused train program XLA already overlaps them —
+        # measured on v5e, full G fwd 19.5 ms plain vs 20.1 ms with it.
+        # use_s2d_exec (3D) instead folds via conv-expressed relayouts.
+        if s2d:
+            # Padding lives inside the s2d conv (replicate via border cells).
+            h = tap(x)
+            h = tap(Conv(self.ngf, k7, padding=3, pad_mode=self.pad_mode,
+                         use_bias=use_bias, kernel_init=init, s2d_space=s2d,
+                         name="initial")(h))
+        else:
+            h = tap(pad_spatial(x, (3,) * self.spatial_dims, self.pad_mode))
+            h = tap(Conv(self.ngf, k7, padding=0, use_bias=use_bias,
+                         kernel_init=init, name="initial")(h))
+        h = tap(apply_norm(h, self.ngf))
         h = tap(nn.relu(h))
 
         # Two stride-2 downsampling convs.
@@ -103,14 +149,15 @@ class ResnetGenerator(nn.Module):
         for i in range(2):
             feats *= 2
             h = tap(Conv(feats, k3, strides=2, padding=1, use_bias=use_bias,
-                         kernel_init=init, name=f"down{i}")(h))
-            h = tap(norm()(h))
+                         kernel_init=init, s2d_space=s2d, name=f"down{i}")(h))
+            h = tap(apply_norm(h, feats))
             h = tap(nn.relu(h))
 
         # Residual core.
         for i in range(self.n_residual_blocks):
             h = tap(ResidualBlock(feats, self.norm_type, self.pad_mode,
-                                  self.spatial_dims, init, name=f"res{i}")(h))
+                                  self.spatial_dims, init, s2d=s2d,
+                                  name=f"res{i}")(h))
 
         if extract_features is not None:
             return [features[i] for i in extract_features]
@@ -119,11 +166,17 @@ class ResnetGenerator(nn.Module):
         for i in range(2):
             feats //= 2
             h = ConvTranspose(feats, k3, strides=2, padding=1, output_padding=1,
-                              kernel_init=init, name=f"up{i}")(h)
-            h = NormAct(self.norm_type, "relu")(h)
+                              kernel_init=init, s2d_space=s2d,
+                              name=f"up{i}")(h)
+            if s2d:
+                h = jax.nn.relu(apply_norm(h, feats))
+            else:
+                h = NormAct(self.norm_type, "relu")(h)
 
         # Output c7s1-out + tanh.
         h = Conv(self.out_channels, k7, padding=3, pad_mode=self.pad_mode,
-                 use_bias=use_bias, kernel_init=init, s2d_factor=s2d,
+                 use_bias=use_bias, kernel_init=init, s2d_space=s2d,
                  name="out")(h)
+        if s2d:
+            h = decode(h, self.out_channels, 2)
         return jax.numpy.tanh(h)

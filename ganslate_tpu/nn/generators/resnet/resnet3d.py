@@ -12,6 +12,9 @@ class Resnet3DConfig(configs.base.BaseGeneratorConfig):
     n_residual_blocks: int = 9
     # Base width (the reference hardcodes 64; exposed here as a knob).
     ngf: int = 64
+    # TPU s2d execution space (exact, same checkpoints); see
+    # nn/generators/resnet/resnet.py.
+    use_s2d_exec: bool = False
 
 
 class Resnet3D(ResnetGenerator):
