@@ -53,6 +53,11 @@ def bench_cyclegan_train():
 
     conf = make_cyclegan_conf(batch_size=batch_size, image_size=image_size,
                               mixed_precision=True, n_iters=10_000)
+    # Boundary-cells execution (exact, same checkpoints): the stem/head
+    # c7s1 convs are lane-starved (3-channel sides); folding their outputs
+    # into 2x2 cells measured +7.6% on the full fused step
+    # (tools/ab_cells_boundary.py, 63.6 -> 68.4 img/s).
+    conf.train.gan.generator.use_cells_boundary = True
 
     rng = np.random.default_rng(0)
     batch = {

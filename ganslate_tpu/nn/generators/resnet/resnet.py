@@ -69,6 +69,15 @@ class ResnetGenerator(nn.Module):
     # taps are not supported in this mode (tap 0 is the odd-padded tensor,
     # which has no cell representation) — run plain for CUT.
     use_s2d_exec: bool = False
+    # Boundary-cells execution (2D; exact, same parameters): the stem and
+    # output-head convs are the G's lane-starved layers (3-channel sides;
+    # measured 1.2-5.6 ms each at batch 16 @256 while the res core runs at
+    # 85%+ of MXU peak — tools/profile_train5.py). This folds ONLY their
+    # outputs: stem runs as a to-cells conv (3x measured), the first down
+    # conv consumes cells directly, and the head runs as a to-cells conv +
+    # one-hot decode. CUT tap calls fall back to plain execution with the
+    # same parameters.
+    use_cells_boundary: bool = False
 
     # Encoder tap count (torch flattened layer list): 4 initial + 2*3 downs
     # + n res blocks.
@@ -131,25 +140,39 @@ class ResnetGenerator(nn.Module):
         # folded, but in the fused train program XLA already overlaps them —
         # measured on v5e, full G fwd 19.5 ms plain vs 20.1 ms with it.
         # use_s2d_exec (3D) instead folds via conv-expressed relayouts.
+        # Boundary-cells mode folds only the network-edge convs; tap calls
+        # (CUT) run the identical-parameter plain path instead.
+        cells = (2 if self.use_cells_boundary and not s2d
+                 and extract_features is None else 0)
+
         if s2d:
             # Padding lives inside the s2d conv (replicate via border cells).
             h = tap(x)
             h = tap(Conv(self.ngf, k7, padding=3, pad_mode=self.pad_mode,
                          use_bias=use_bias, kernel_init=init, s2d_space=s2d,
                          name="initial")(h))
+        elif cells:
+            h = Conv(self.ngf, k7, padding=3, pad_mode=self.pad_mode,
+                     use_bias=use_bias, kernel_init=init, to_cells=cells,
+                     name="initial")(x)
         else:
             h = tap(pad_spatial(x, (3,) * self.spatial_dims, self.pad_mode))
             h = tap(Conv(self.ngf, k7, padding=0, use_bias=use_bias,
                          kernel_init=init, name="initial")(h))
-        h = tap(apply_norm(h, self.ngf))
-        h = tap(nn.relu(h))
+        if cells:
+            h = nn.relu(apply_norm_s2d(self.norm_type, h, self.ngf, cells))
+        else:
+            h = tap(apply_norm(h, self.ngf))
+            h = tap(nn.relu(h))
 
         # Two stride-2 downsampling convs.
         feats = self.ngf
         for i in range(2):
             feats *= 2
             h = tap(Conv(feats, k3, strides=2, padding=1, use_bias=use_bias,
-                         kernel_init=init, s2d_space=s2d, name=f"down{i}")(h))
+                         kernel_init=init, s2d_space=s2d,
+                         from_cells=cells if i == 0 else 0,
+                         name=f"down{i}")(h))
             h = tap(apply_norm(h, feats))
             h = tap(nn.relu(h))
 
@@ -176,7 +199,8 @@ class ResnetGenerator(nn.Module):
         # Output c7s1-out + tanh.
         h = Conv(self.out_channels, k7, padding=3, pad_mode=self.pad_mode,
                  use_bias=use_bias, kernel_init=init, s2d_space=s2d,
-                 name="out")(h)
-        if s2d:
-            h = decode(h, self.out_channels, 2)
+                 to_cells=cells, name="out")(h)
+        if s2d or cells:
+            from ganslate_tpu.ops.s2d_space import decode as _decode
+            h = _decode(h, self.out_channels, 2)
         return jax.numpy.tanh(h)

@@ -11,6 +11,9 @@ class Resnet2DConfig(configs.base.BaseGeneratorConfig):
     n_residual_blocks: int = 9
     # Base width (the reference hardcodes 64; exposed here as a knob).
     ngf: int = 64
+    # Boundary-cells execution (exact, same checkpoints): fold the
+    # lane-starved stem/head convs; see nn/generators/resnet/resnet.py.
+    use_cells_boundary: bool = False
 
 
 class Resnet2D(ResnetGenerator):

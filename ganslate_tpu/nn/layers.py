@@ -83,6 +83,14 @@ class Conv(nn.Module):
     kernel is transformed on the fly (stride-1 symmetric-pad convs and
     k == s == r down convs are supported). Used by the V-Net s2d execution
     mode; parameters stay canonical.
+
+    ``to_cells`` = r > 1: plain input, c-major CELL output — a stride-1
+    original conv executed as one VALID stride-r conv straight from the
+    (plain-padded, so any pad_mode) input. The network-edge fix for
+    lane-starved stems/heads: measured 3x on the CycleGAN c7s1 boundary
+    convs (tools/profile_train8.py). ``from_cells`` = r > 1: the inverse
+    boundary — a stride-r original conv (s == r, zero pad) consuming cells
+    and producing plain output. Both keep the canonical kernel parameter.
     """
     features: int
     kernel_size: Sequence[int]
@@ -94,6 +102,8 @@ class Conv(nn.Module):
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     s2d_factor: int = 0
     s2d_space: int = 0
+    to_cells: int = 0
+    from_cells: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -104,6 +114,10 @@ class Conv(nn.Module):
 
         if self.s2d_space > 1:
             return self._call_s2d(x, n, k, pad, strides)
+        if self.to_cells > 1:
+            return self._call_to_cells(x, n, k, pad, strides)
+        if self.from_cells > 1:
+            return self._call_from_cells(x, n, k, pad, strides)
 
         in_features = x.shape[-1] // self.feature_group_count
         kernel = self.param("kernel", self.kernel_init,
@@ -197,6 +211,69 @@ class Conv(nn.Module):
                                              dimension_numbers=dn)
         if bias is not None:
             y = y + jnp.repeat(bias, rn).astype(y.dtype)
+        return y
+
+    def _call_to_cells(self, x: Array, n, k, pad, strides) -> Array:
+        """Plain input -> c-major cell output (ops/s2d_space.py boundary).
+        Stride-1 originals only; padding happens on the plain side, so any
+        pad_mode works (reflect included)."""
+        from ganslate_tpu.ops import s2d_space as sp
+
+        r = self.to_cells
+        assert all(s == 1 for s in strides), \
+            "to_cells supports stride-1 original convs"
+        assert self.feature_group_count == 1
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        for i in range(n):
+            out_orig = x.shape[1 + i] + 2 * pad[i] - k[i] + 1
+            if out_orig % r:
+                raise ValueError(
+                    f"to_cells: original output extent {out_orig} (dim {i}) "
+                    f"must divide r={r}")
+        if any(pad):
+            x = pad_spatial(x, pad, self.pad_mode)
+        kt = sp.transform_to_cells_kernel(kernel.astype(x.dtype), r)
+        spatial = "DHW"[3 - n:]
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(x, kt, (r,) * n, "VALID",
+                                         dimension_numbers=dn)
+        if bias is not None:
+            y = y + jnp.repeat(bias, r ** n).astype(y.dtype)
+        return y
+
+    def _call_from_cells(self, x: Array, n, k, pad, strides) -> Array:
+        """c-major cell input -> plain output: a stride-r original conv
+        (s == r, zero padding) as a stride-1 conv over the cell grid."""
+        from ganslate_tpu.ops import s2d_space as sp
+
+        r = self.from_cells
+        assert strides == (r,) * n, \
+            f"from_cells needs original stride == r={r}, got {strides}"
+        assert self.pad_mode == "zeros", \
+            "from_cells pads with zero cells (zero-pad originals) only"
+        assert self.feature_group_count == 1
+        rn = r ** n
+        in_true = x.shape[-1] // rn
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, in_true, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        kt = sp.transform_from_cells_kernel(kernel.astype(x.dtype), r, pad[0])
+        assert all(p == pad[0] for p in pad), "from_cells: symmetric pad only"
+        pads = [sp.from_cells_pads(k[i], r, pad[i], x.shape[1 + i])
+                for i in range(n)]
+        spatial = "DHW"[3 - n:]
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(x, kt, (1,) * n, pads,
+                                         dimension_numbers=dn)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         return y
 
 

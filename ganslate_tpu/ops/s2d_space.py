@@ -440,3 +440,104 @@ def replicate_pad_cells(x: jax.Array, channels: int, r: int,
         if lo or hi:
             x = jnp.concatenate(parts, axis=1 + dim)
     return x
+
+
+# --------------------------------------- boundary (plain <-> cells) convs
+# The network-edge layers (image-side stems and output heads) are the one
+# place folding the INPUT loses: a 3-channel image encodes to 3*r^n lanes
+# (still tiny), and the one-hot encode conv is pure overhead. Measured on
+# v5e (tools/profile_train8.py): the stem c7s1-64 runs 3x faster as a
+# stride-r conv STRAIGHT from the plain image with a phase-stacked kernel
+# (output folded, input untouched), while the input-encoded form is SLOWER
+# than plain. These transforms cross the plain<->cell boundary inside the
+# conv itself:
+#   to-cells:   plain input  -> c-major cell output (stride-1 originals)
+#   from-cells: c-major cell input -> plain output  (stride-r originals)
+# Padding for to-cells happens on the PLAIN side (so reflect/replicate cost
+# nothing special); from-cells pads with zero cells (zero-pad originals).
+
+
+@lru_cache(maxsize=None)
+def _to_cells_plan(k: int, r: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-dim plan: dense tap o of the stride-r conv covers original tap
+    u = o - p for output phase p; valid iff 0 <= u < k. Shapes (k+r-1, r)."""
+    o = np.arange(k + r - 1)[:, None]
+    p = np.arange(r)[None, :]
+    u = o - p
+    valid = (u >= 0) & (u < k)
+    return np.clip(u, 0, k - 1), valid
+
+
+def transform_to_cells_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
+    """(k..k, C, O) -> (k+r-1 .., C, O*r^n), c-major output channels.
+
+    Apply as a VALID stride-r conv over the plain (externally padded) input;
+    the result is exactly `encode(conv_stride1(x), r)` — with the output
+    extent divisible by r — at zero relayout cost."""
+    n = kernel.ndim - 2
+    kr = kernel
+    for i in range(n):
+        u, valid = _to_cells_plan(kernel.shape[i], r)
+        ax = 2 * i
+        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1] = u.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+    # (a1,p1,...,an,pn,C,O) -> (a1..an, C, O, p1..pn)
+    perm = ([2 * i for i in range(n)] + [2 * n, 2 * n + 1]
+            + [2 * i + 1 for i in range(n)])
+    kr = kr.transpose(perm)
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+    return kr.reshape(*kr.shape[:n], c_in, c_out * r ** n)
+
+
+@lru_cache(maxsize=None)
+def _from_cells_plan(k: int, r: int, pad: int) \
+        -> Tuple[np.ndarray, np.ndarray, int]:
+    """Per-dim plan for a stride-r conv consuming cells: original tap d
+    reads orig input r*t + d - pad = r*(t + u) + q with u = (d - pad) // r,
+    q = (d - pad) % r. Dense cell tap a covers u = a + u_min:
+    d = r*(a + u_min) + q + pad. Returns (d, valid, -u_min) with shapes
+    (ext, r); pad_lo cells = -u_min."""
+    u_min = (0 - pad) // r
+    u_max = (k - 1 - pad) // r
+    a = np.arange(u_max - u_min + 1)[:, None]
+    q = np.arange(r)[None, :]
+    d = r * (a + u_min) + q + pad
+    valid = (d >= 0) & (d < k)
+    return np.clip(d, 0, k - 1), valid, -u_min
+
+
+def transform_from_cells_kernel(kernel: jax.Array, r: int = 2,
+                                pad: int = 0) -> jax.Array:
+    """(k..k, C, O) -> (ext.., C*r^n, O), c-major input channels, for an
+    original stride-r conv with symmetric zero `pad`: apply as a stride-1
+    conv over the cell grid with the padding from `from_cells_pads`."""
+    n = kernel.ndim - 2
+    kr = kernel
+    for i in range(n):
+        d, valid, _ = _from_cells_plan(kernel.shape[i], r, pad)
+        ax = 2 * i
+        kr = jnp.take(kr, jnp.asarray(d.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + d.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1] = d.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+    # (a1,q1,...,an,qn,C,O) -> (a1..an, C, q1..qn, O)
+    perm = ([2 * i for i in range(n)] + [2 * n]
+            + [2 * i + 1 for i in range(n)] + [2 * n + 1])
+    kr = kr.transpose(perm)
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+    return kr.reshape(*kr.shape[:n], c_in * r ** n, c_out)
+
+
+def from_cells_pads(k: int, r: int, pad: int, in_cells: int) \
+        -> Tuple[int, int]:
+    """(pad_lo, pad_hi) cell padding for `transform_from_cells_kernel`'s
+    stride-1 conv so every original output position is produced."""
+    _, _, lo = _from_cells_plan(k, r, pad)
+    ext = (k - 1 - pad) // r - (0 - pad) // r + 1
+    out_orig = (in_cells * r + 2 * pad - k) // r + 1
+    hi = max(0, (out_orig - 1) + (ext - 1) - lo - (in_cells - 1))
+    return lo, hi
