@@ -27,11 +27,19 @@ from flax import linen as nn
 
 from ganslate_tpu.nn.layers import Conv, apply_norm_s2d, is_bias_before_norm
 
-# lax.scan unroll factor for the coupling sequences (trace-time global).
-# unroll > 1 lets XLA fuse across coupling blocks (and makes
-# cost_analysis count every block's FLOPs instead of one body);
+# lax.scan unroll factor for the memory-saving coupling sequences
+# (trace-time global). unroll > 1 lets XLA fuse across coupling blocks (and
+# makes cost_analysis count every block's FLOPs instead of one body);
 # unroll = 1 keeps compile time and code size minimal.
 SCAN_UNROLL = 1
+
+# The plain (activation-storing) path fully unrolls instead: with unroll=1
+# every coupling materializes its concat carry to HBM and XLA cannot fuse
+# the norm/PReLU/add chains across blocks. Sequences are 1-4 blocks, so the
+# unrolled program is small — measured +27% on the 28-window s2d V-Net
+# sliding-window forward (1.64 -> 2.09 vols/s, tools/ab_sw_unroll.py), and
+# it COMPILES faster (58 vs 82 s).
+PLAIN_UNROLL_FULL = True
 
 
 def _split(x):
@@ -175,6 +183,7 @@ class InvertibleSequence(nn.Module):
         step = _coupling_inverse if inverse else _coupling_forward
         def body(h, p):
             return step(apply_fn, p, h), None
+        unroll = self.n_blocks if PLAIN_UNROLL_FULL else SCAN_UNROLL
         y, _ = jax.lax.scan(body, x, self.stacked, reverse=inverse,
-                            unroll=SCAN_UNROLL)
+                            unroll=unroll)
         return y
