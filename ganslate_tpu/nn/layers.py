@@ -62,6 +62,42 @@ def pad_spatial(x: Array, pad: Sequence[int], mode: str = "zeros") -> Array:
 # -------------------------------------------------------------------- convs
 
 
+def _cached_kernel_transform(mdl: nn.Module, compute: Callable) -> Array:
+    """Serving-time weight preprocessing for the s2d execution space.
+
+    The s2d kernel transforms are pure functions of the canonical params, yet
+    computed inside the forward they re-run EVERY call — traced at ~100 ms
+    per 28-window sliding-window call (gather/mask/relayout chains on 11-D
+    kernel intermediates, docs/benchmarks.md). With a `s2d_kernels` flax
+    collection supplied, the pre-transformed kernel is read instead; a pass
+    with `mutable=["s2d_kernels"]` records it (see
+    `precompute_s2d_kernels`). Training and ordinary applies are unchanged.
+    """
+    if mdl.has_variable("s2d_kernels", "kt") \
+            and not mdl.is_mutable_collection("s2d_kernels"):
+        return mdl.get_variable("s2d_kernels", "kt")
+    kt = compute()
+    if mdl.is_mutable_collection("s2d_kernels"):
+        mdl.put_variable("s2d_kernels", "kt", kt)
+    return kt
+
+
+def precompute_s2d_kernels(module: nn.Module, params, x_spec) -> dict:
+    """One prepare pass returning the `s2d_kernels` cache for fixed params.
+
+    Serving then calls `module.apply({"params": params, "s2d_kernels":
+    cache}, x)` and every s2d conv skips its kernel transform. `x_spec` is an
+    example input (only shape/dtype matter; jit DCEs the network math, so
+    the compiled prepare program is just the transforms)."""
+    import jax
+
+    @jax.jit
+    def prep(p, x):
+        return module.apply({"params": p}, x, mutable=["s2d_kernels"])[1]
+
+    return prep(params, x_spec)["s2d_kernels"]
+
+
 class Conv(nn.Module):
     """Convolution with torch-style symmetric integer padding.
 
@@ -161,6 +197,7 @@ class Conv(nn.Module):
         Geometries: stride-1 symmetric-pad (zeros or replicate) convs,
         k == s == r down convs, and general stride-r down convs."""
         from ganslate_tpu.ops import s2d_space as sp
+        transform = lambda compute: _cached_kernel_transform(self, compute)
 
         r = self.s2d_space
         rn = r ** n
@@ -175,12 +212,12 @@ class Conv(nn.Module):
         square = all(ki == k[0] for ki in k) and all(p == pad[0] for p in pad)
 
         if k == (r,) * n and strides == (r,) * n and all(p == 0 for p in pad):
-            kt = sp.transform_down_kernel(kernel, r)
+            kt = transform(lambda: sp.transform_down_kernel(kernel, r))
             conv_strides, pads = (r,) * n, [(0, 0)] * n
         elif all(s == 1 for s in strides) and square:
             assert self.pad_mode in ("zeros", "replicate", "edge"), \
                 f"s2d execution space: unsupported pad_mode {self.pad_mode}"
-            kt = sp.transform_stride1_kernel(kernel, r, pad[0])
+            kt = transform(lambda: sp.transform_stride1_kernel(kernel, r, pad[0]))
             lo, hi = sp.stride1_pads(k[0], r, pad[0])
             if self.pad_mode == "zeros":
                 conv_strides, pads = (1,) * n, [(lo, hi)] * n
@@ -190,7 +227,7 @@ class Conv(nn.Module):
                 x = sp.replicate_pad_cells(x, in_true, r, [(lo, hi)] * n)
                 conv_strides, pads = (1,) * n, [(0, 0)] * n
         elif strides == (r,) * n and square and self.pad_mode == "zeros":
-            kt = sp.transform_strided_kernel(kernel, r, pad[0])
+            kt = transform(lambda: sp.transform_strided_kernel(kernel, r, pad[0]))
             pads = [sp.strided_pads(k[0], r, pad[0], x.shape[1 + i])
                     for i in range(n)]
             conv_strides = (r,) * n
@@ -236,7 +273,8 @@ class Conv(nn.Module):
                     f"must divide r={r}")
         if any(pad):
             x = pad_spatial(x, pad, self.pad_mode)
-        kt = sp.transform_to_cells_kernel(kernel.astype(x.dtype), r)
+        kt = _cached_kernel_transform(
+            self, lambda: sp.transform_to_cells_kernel(kernel.astype(x.dtype), r))
         spatial = "DHW"[3 - n:]
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
@@ -263,7 +301,9 @@ class Conv(nn.Module):
                             (*k, in_true, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32) if self.use_bias else None
-        kt = sp.transform_from_cells_kernel(kernel.astype(x.dtype), r, pad[0])
+        kt = _cached_kernel_transform(
+            self,
+            lambda: sp.transform_from_cells_kernel(kernel.astype(x.dtype), r, pad[0]))
         assert all(p == pad[0] for p in pad), "from_cells: symmetric pad only"
         pads = [sp.from_cells_pads(k[i], r, pad[i], x.shape[1 + i])
                 for i in range(n)]
@@ -367,7 +407,8 @@ class ConvTranspose(nn.Module):
         spatial = "DHW"[3 - n:]
         if k == (r,) * n and p[0] == 0 and op[0] == 0:
             # k == s == r: tightest transformed window (extent r per dim).
-            kt = sp.transform_up_kernel(kernel.astype(x.dtype), r)
+            kt = _cached_kernel_transform(
+                self, lambda: sp.transform_up_kernel(kernel.astype(x.dtype), r))
             pads = [(r - 1, r - 1)] * n
         else:
             # General geometry (e.g. Piresnet/Resnet3D k3 s2 p1 op1).
@@ -378,7 +419,10 @@ class ConvTranspose(nn.Module):
                         f"s2d ConvTranspose: original output extent {out_orig} "
                         f"(dim {i}) must divide r={r}, else the last s2d cell "
                         f"carries garbage trailing phases")
-            kt = sp.transform_up_general_kernel(kernel.astype(x.dtype), r, p[0])
+            kt = _cached_kernel_transform(
+                self,
+                lambda: sp.transform_up_general_kernel(kernel.astype(x.dtype),
+                                                       r, p[0]))
             pads = [sp.up_general_pads(k[0], r, p[0], op[0], x.shape[1 + i])
                     for i in range(n)]
         dn = jax.lax.conv_dimension_numbers(

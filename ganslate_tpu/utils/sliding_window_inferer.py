@@ -145,13 +145,18 @@ class SlidingWindowInferer:
         # Round window batches up to a multiple of the device count so the
         # grid splits evenly across the mesh.
         n_batches = -(-n_batches // n_dev) * n_dev
-        # Pad the window list by repeating the last window — its prediction
-        # is identical, and overlap-add of the same weighted value is
-        # normalized out by the matching weight sum.
+        # Pad the window list by repeating the last window. Pad duplicates
+        # are masked to ZERO weight in the scatter path (a duplicate that
+        # overlaps another window would otherwise bias the weighted average
+        # toward the duplicated prediction) and dropped before the static
+        # overlap-add path.
         pad_windows = n_batches * sw_batch - n_windows
         if pad_windows:
             starts = np.concatenate([starts, np.repeat(starts[-1:], pad_windows, 0)])
         starts_dev = jnp.asarray(starts.reshape(n_batches, sw_batch, -1))
+        valid_np = np.ones(n_batches * sw_batch, np.float32)
+        valid_np[n_windows:] = 0.0
+        valid_dev = jnp.asarray(valid_np.reshape(n_batches, sw_batch))
 
         if self.mode == "gaussian":
             importance = gaussian_importance_map(roi, self.sigma_scale)
@@ -162,20 +167,31 @@ class SlidingWindowInferer:
         roi_t = tuple(roi)
         rank = len(roi_t)
 
+        # Per-dim window start lists whose Cartesian product IS the grid
+        # (dense_patch_slices builds it as a meshgrid) — the structure the
+        # static overlap-add below exploits.
+        starts_per_dim = []
+        for image_d, roi_d, step in zip(padded, roi, interval):
+            scan_num = int(math.ceil(max(image_d - roi_d, 0) / step)) + 1
+            starts_per_dim.append(
+                sorted({min(i * step, image_d - roi_d) for i in range(scan_num)}))
+
         def gather_window(vol, start):
             return jax.lax.dynamic_slice(
                 vol, (*start,) + (0,), (*roi_t, channels))
 
-        def accumulate_volume(vol, net_params, start_batches):
+        def accumulate_volume(vol, net_params, start_batches, valid_batches):
             """Overlap-add canvas + weights for one volume over the given
-            window batches. vol: (*padded, C)."""
+            window batches. vol: (*padded, C). `valid_batches` zeroes the pad
+            duplicates' contributions."""
             out0 = jnp.zeros((*padded, channels), jnp.float32)
             w0 = jnp.zeros((*padded, 1), jnp.float32)
 
             def apply_net(x):
                 return network(x) if net_params is None else network(net_params, x)
 
-            def body(carry, start_batch):
+            def body(carry, batch):
+                start_batch, valid = batch
                 out, w = carry
                 windows = jax.vmap(gather_window, in_axes=(None, 0))(vol, start_batch)
                 if squeeze_depth:
@@ -187,11 +203,13 @@ class SlidingWindowInferer:
                 def scatter_one(carry, idx):
                     out, w = carry
                     start = start_batch[idx]
+                    imp = importance_dev * valid[idx]
                     start_full = (*(start[d] for d in range(rank)), 0)
                     cur = jax.lax.dynamic_slice(out, start_full, (*roi_t, channels))
-                    out = jax.lax.dynamic_update_slice(out, cur + preds[idx], start_full)
+                    out = jax.lax.dynamic_update_slice(
+                        out, cur + preds[idx] * valid[idx], start_full)
                     cur_w = jax.lax.dynamic_slice(w, start_full[:-1] + (0,), (*roi_t, 1))
-                    w = jax.lax.dynamic_update_slice(w, cur_w + importance_dev,
+                    w = jax.lax.dynamic_update_slice(w, cur_w + imp,
                                                      start_full[:-1] + (0,))
                     return (out, w), None
 
@@ -199,7 +217,8 @@ class SlidingWindowInferer:
                                            jnp.arange(sw_batch))
                 return (out, w), None
 
-            (out, w), _ = jax.lax.scan(body, (out0, w0), start_batches)
+            (out, w), _ = jax.lax.scan(body, (out0, w0),
+                                       (start_batches, valid_batches))
             return out, w
 
         def crop(out):
@@ -207,13 +226,79 @@ class SlidingWindowInferer:
                           for (lo, _), s in zip(pad_cfg[1:-1], spatial))
             return out[(slice(None), *crops, slice(None))]
 
+        # ---- single-device blend: static overlap-add, no scatter.
+        # The window grid is a Cartesian product of per-dim start lists, so
+        # the weighted overlap-add factorizes per axis into STATIC
+        # slice/add/concat chains XLA fuses at full bandwidth — the
+        # scatter path below (kept for the sharded grid) runs its
+        # dynamic_update_slice chain at ~10 GB/s on the canvas (traced,
+        # docs/benchmarks.md). The weight canvas is input-independent and
+        # baked in as a numpy constant.
+        n_pos = [len(s) for s in starts_per_dim]
+
+        def _axis_overlap_add(t, axis_starts, extent, out_len):
+            """(n_pos, extent, ...) -> (out_len, ...): sum the shifted window
+            slabs along one spatial dim. Every breakpoint is static."""
+            bounds = sorted({0, out_len, *axis_starts,
+                             *[s + extent for s in axis_starts]})
+            bounds = [b for b in bounds if 0 <= b <= out_len]
+            segs = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                parts = [t[i, lo - s:hi - s]
+                         for i, s in enumerate(axis_starts)
+                         if s <= lo and hi <= s + extent]
+                segs.append(sum(parts[1:], parts[0]))
+            return jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+
+        def collect_preds(vol, net_params, start_batches):
+            """All window predictions, weighted, in dense grid order."""
+            def apply_net(x):
+                return network(x) if net_params is None else network(net_params, x)
+
+            def body(_, start_batch):
+                windows = jax.vmap(gather_window, in_axes=(None, 0))(vol, start_batch)
+                if squeeze_depth:
+                    preds = apply_net(windows[:, 0])[:, None]
+                else:
+                    preds = apply_net(windows)
+                return None, preds.astype(jnp.float32)
+
+            if start_batches.shape[0] == 1:
+                preds = body(None, start_batches[0])[1]
+            else:
+                _, preds = jax.lax.scan(body, None, start_batches)
+                preds = preds.reshape(-1, *preds.shape[2:])
+            # Drop the pad duplicates; weight with the importance map.
+            return preds[:n_windows] * importance_dev
+
+        def blend(preds):
+            """(n_windows, *roi, C) -> (*padded, C) by per-axis overlap-add
+            over the grid's product structure."""
+            t = preds.reshape(*n_pos, *roi_t, channels)
+            for d in reversed(range(rank)):
+                t = jnp.moveaxis(t, d, 0)
+                t = jnp.moveaxis(t, 2 * d + 1, 1)
+                t = _axis_overlap_add(t, starts_per_dim[d], roi_t[d], padded[d])
+                t = jnp.moveaxis(t, 0, 2 * d)
+            return t
+
         if mesh is None:
+            assert int(np.prod(n_pos)) == n_windows
+            w_np = np.zeros((*padded, 1), np.float32)
+            for idx in np.ndindex(*n_pos):
+                region = tuple(slice(starts_per_dim[d][idx[d]],
+                                     starts_per_dim[d][idx[d]] + roi_t[d])
+                               for d in range(rank))
+                w_np[region] += importance[..., None]
+            w_const = jnp.asarray(w_np)
+
             @jax.jit
             def run(inputs, net_params):
                 x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
-                out, w = jax.vmap(accumulate_volume, in_axes=(0, None, None))(
+                preds = jax.vmap(collect_preds, in_axes=(0, None, None))(
                     x, net_params, starts_dev)
-                return crop(out / w)
+                out = jax.vmap(blend)(preds)
+                return crop(out / w_const)
 
             return run
 
@@ -225,18 +310,21 @@ class SlidingWindowInferer:
         n_dev = mesh.devices.size
         starts_sharded = starts_dev.reshape(n_dev, n_batches // n_dev,
                                             sw_batch, rank)
+        valid_sharded = valid_dev.reshape(n_dev, n_batches // n_dev, sw_batch)
 
-        def worker(start_batches, x, net_params):
+        def worker(start_batches, valid_batches, x, net_params):
             start_batches = start_batches[0]  # this device's share
-            out, w = jax.vmap(accumulate_volume, in_axes=(0, None, None))(
-                x, net_params, start_batches)
+            valid_batches = valid_batches[0]
+            out, w = jax.vmap(accumulate_volume,
+                              in_axes=(0, None, None, None))(
+                x, net_params, start_batches, valid_batches)
             out = jax.lax.psum(out, "data")
             w = jax.lax.psum(w, "data")
             return out, w
 
         sharded = shard_map(
             worker, mesh=mesh,
-            in_specs=(P("data"), P(), P()),
+            in_specs=(P("data"), P("data"), P(), P()),
             out_specs=(P(), P()),
             check_rep=False,
         )
@@ -244,7 +332,7 @@ class SlidingWindowInferer:
         @jax.jit
         def run(inputs, net_params):
             x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
-            out, w = sharded(starts_sharded, x, net_params)
+            out, w = sharded(starts_sharded, valid_sharded, x, net_params)
             return crop(out / w)
 
         return run

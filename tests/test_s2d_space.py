@@ -492,3 +492,27 @@ def test_piresnet3d_s2d_memory_saving_gradients(rng):
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_precomputed_s2d_kernels_exact(rng):
+    """Serving with the s2d_kernels cache == computing transforms in-line."""
+    import jax
+    import jax.numpy as jnp
+    from ganslate_tpu.nn.generators import Vnet3D
+    from ganslate_tpu.nn.layers import precompute_s2d_kernels
+
+    model = Vnet3D(in_channels=1, out_channels=1, down_blocks=(1, 1),
+                   up_blocks=(1, 1), use_memory_saving=False,
+                   use_inverse=False, use_s2d_exec=True)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.key(0), x)["params"]
+
+    ref = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, x)
+    cache = precompute_s2d_kernels(model, params, x)
+    out = jax.jit(lambda p, c, v: model.apply(
+        {"params": p, "s2d_kernels": c}, v))(params, cache, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # The cache actually contains transformed kernels.
+    leaves = jax.tree_util.tree_leaves(cache)
+    assert leaves, "empty s2d kernel cache"

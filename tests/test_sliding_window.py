@@ -71,3 +71,46 @@ def test_small_volume_padded():
     out = inferer(x, lambda params, v: v, params={})
     assert out.shape == (1, 10, 12, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["gaussian", "constant"])
+def test_identity_single_device_blend(mode):
+    """The static overlap-add path (distributed=False) must reconstruct the
+    input exactly, same as the sharded scatter path."""
+    inferer = SlidingWindowInferer(roi_size=(8, 8), sw_batch_size=3,
+                                   overlap=0.25, mode=mode, distributed=False)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 20, 23, 3))
+                    .astype(np.float32))
+    out = inferer(x, lambda params, v: v, params={})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_single_device_matches_distributed_3d():
+    """Static overlap-add == scatter path on a real (non-identity) network,
+    3D grid with clamped last window (irregular starts)."""
+    k = jnp.asarray(np.random.default_rng(4).normal(
+        size=(3, 3, 3, 2, 2)).astype(np.float32)) * 0.3
+
+    def net(params, v):
+        return jax.lax.conv_general_dilated(
+            v, k, (1, 1, 1), "SAME",
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                v.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC")))
+
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 11, 13, 9, 2))
+                    .astype(np.float32))
+    args = dict(roi_size=(4, 8, 8), sw_batch_size=3, overlap=0.25,
+                mode="gaussian")
+    out_single = SlidingWindowInferer(distributed=False, **args)(x, net, {})
+    out_dist = SlidingWindowInferer(distributed=True, **args)(x, net, {})
+    np.testing.assert_allclose(np.asarray(out_single), np.asarray(out_dist),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_single_device_2d_over_3d():
+    inferer = SlidingWindowInferer(roi_size=(8, 8), sw_batch_size=4,
+                                   overlap=0.25, distributed=False)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(1, 5, 16, 16, 1))
+                    .astype(np.float32))
+    out = inferer(x, lambda params, v: 2.0 * v, params={})
+    np.testing.assert_allclose(np.asarray(out), 2 * np.asarray(x), atol=1e-4)
