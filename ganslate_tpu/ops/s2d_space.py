@@ -89,13 +89,29 @@ def encode(x: jax.Array, r: int = 2) -> jax.Array:
                                         dimension_numbers=dn)
 
 
+# Lowering for `decode`'s one-hot transposed conv. The polyphase form is a
+# 1x1 matmul + depth-to-space whose interleave XLA materializes as a
+# copy+reshape at ~10 GB/s (traced 42 ms on the 56-window V-Net output,
+# docs/benchmarks.md); the lhs-dilated form lets the MXU write the
+# interleaved layout directly — same trade the s2d up convs already took
+# (21.8 vs 8.9 ms). Module-level so A/B harnesses can flip it.
+DECODE_DILATED = True
+
+
 def decode(x: jax.Array, c: int, r: int = 2) -> jax.Array:
     """Inverse of `encode`: (N, *g, C*r^n) -> (N, *g*r, C) via a one-hot
-    transposed conv (polyphase path: one 1x1 matmul + depth-to-space)."""
+    transposed conv (dilated lowering by default, see DECODE_DILATED)."""
     n = x.ndim - 2
     kern = jnp.asarray(_decode_kernel_np(c, r, n), x.dtype)
-    from ganslate_tpu.ops.polyphase_transpose import polyphase_conv_transpose
-    return polyphase_conv_transpose(x, kern, (r,) * n, (0,) * n, (0,) * n)
+    if not DECODE_DILATED:
+        from ganslate_tpu.ops.polyphase_transpose import polyphase_conv_transpose
+        return polyphase_conv_transpose(x, kern, (r,) * n, (0,) * n, (0,) * n)
+    spatial = "DHW"[3 - n:]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kern.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    return jax.lax.conv_general_dilated(
+        x, kern, (1,) * n, [(r - 1, r - 1)] * n, lhs_dilation=(r,) * n,
+        dimension_numbers=dn)
 
 
 # ------------------------------------------------------------ kernel maps
