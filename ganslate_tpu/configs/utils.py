@@ -13,9 +13,11 @@ this package (see `ganslate_tpu.utils.io.import_attr`) so reference experiment
 YAMLs run unmodified.
 """
 
+import dataclasses
 import importlib.util
 import logging
 import sys
+import typing
 from pathlib import Path
 
 from ganslate_tpu.configs.omega import Conf
@@ -32,25 +34,45 @@ def init_config(conf, config_class):
         import_project_as_module(conf.project)
 
     conf = instantiate_dataclasses_from_yaml(conf)
-    conf = _apply_mode_schemas(conf)
-    return Conf.merge(Conf.structured(config_class), conf)
+    return merge_with_schema(config_class, conf)
 
 
-def _apply_mode_schemas(conf: Conf) -> Conf:
-    """Merge the typed per-mode schemas under Optional mode sections.
+def _dataclass_field_types(cls) -> dict:
+    """Field name -> declared type, unwrapping Optional[X] to X."""
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {f.name: f.type for f in dataclasses.fields(cls)}
+    out = {}
+    for f in dataclasses.fields(cls):
+        t = hints.get(f.name, f.type)
+        if typing.get_origin(t) is typing.Union:
+            args = [a for a in typing.get_args(t) if a is not type(None)]
+            if len(args) == 1:
+                t = args[0]
+        out[f.name] = t
+    return out
 
-    The root `Config` declares val/test/infer as Optional (default None), so
-    the structured-root merge alone cannot supply their dataclass defaults;
-    OmegaConf used static field types for this, here we resolve them
-    explicitly."""
-    from ganslate_tpu.configs.inference import InferenceConfig
-    from ganslate_tpu.configs.validation_testing import TestConfig, ValidationConfig
 
-    for key, schema in (("val", ValidationConfig), ("test", TestConfig),
-                        ("infer", InferenceConfig)):
-        if key in conf and conf.raw()[key] is not None:
-            conf.update(key, Conf.merge(Conf.structured(schema), conf[key]))
-    return conf
+def merge_with_schema(schema_cls, node) -> Conf:
+    """`Conf.merge(structured(schema_cls), node)`, recursing into every
+    dataclass-typed field whose YAML value is a dict.
+
+    OmegaConf merges YAML into typed nodes, so a field declared
+    `Optional[SlidingWindowConfig] = None` still gets the dataclass defaults
+    underneath a partial YAML dict (e.g. `sliding_window: {window_size: ...}`
+    keeps batch_size/overlap/mode defaults). The raw dict merge alone loses
+    that — the schema side holds None, the YAML dict replaces it wholesale —
+    which broke every nested optional section (sliding_window,
+    spatial_sharding, logging.wandb, profiler). Reference semantics:
+    /root/reference/ganslate/configs/utils.py:10-91 via omegaconf."""
+    merged = Conf.merge(Conf.structured(schema_cls), node)
+    for name, ftype in _dataclass_field_types(schema_cls).items():
+        if not (dataclasses.is_dataclass(ftype) and isinstance(ftype, type)):
+            continue
+        if name in merged and isinstance(merged.raw().get(name), dict):
+            merged.update(name, merge_with_schema(ftype, merged[name]))
+    return merged
 
 
 def import_project_as_module(project_dir):

@@ -104,3 +104,59 @@ def test_cli_override_on_full_config():
     merged = Conf.merge(conf, Conf.from_dotlist(["train.batch_size=16"]))
     assert merged.train.batch_size == 16
     assert merged.infer.batch_size == 16  # interpolation follows
+
+
+def test_nested_optional_sections_get_schema_defaults(tmp_path):
+    """A partial YAML dict under an Optional[Dataclass] field must still pick
+    up the dataclass defaults (OmegaConf typed-merge semantics): regression
+    for val.sliding_window.{batch_size,overlap,mode} disappearing when the
+    YAML sets only window_size — the combination every reference 3D project
+    uses (e.g. brats .../experiments/cyclegan.yaml)."""
+    yaml_text = """
+train:
+    output_dir: /tmp/x
+    n_iters: 1
+    batch_size: 1
+    logging:
+        wandb:
+            project: some-project
+    dataset:
+        _target_: ganslate.data.UnpairedImageDataset
+        root: /tmp/x
+        load_size: [8, 8]
+        final_size: [8, 8]
+    gan:
+        _target_: ganslate.nn.gans.unpaired.CycleGAN
+        generator:
+            _target_: ganslate.nn.generators.Vnet3D
+            in_out_channels:
+                AB: [1, 1]
+        discriminator:
+            _target_: ganslate.nn.discriminators.PatchGAN3D
+            in_channels:
+                B: 1
+        optimizer:
+            lambda_AB: 5.0
+            lambda_BA: 5.0
+
+val:
+    freq: 10
+    dataset:
+        _target_: ganslate.data.UnpairedImageDataset
+        root: /tmp/x
+        load_size: [8, 8]
+        final_size: [8, 8]
+    sliding_window:
+        window_size: [16, 32, 32]
+"""
+    p = tmp_path / "exp.yaml"
+    p.write_text(yaml_text)
+    conf = init_config(p, config_class=Config)
+    sw = conf.val.sliding_window
+    assert list(sw.window_size) == [16, 32, 32]
+    assert sw.batch_size == 1          # schema default
+    assert sw.overlap == 0.25          # schema default
+    assert sw.mode == "gaussian"       # schema default
+    # Same pattern one level deeper on the train side: partial wandb dict.
+    assert conf.train.logging.wandb.project == "some-project"
+    assert conf.train.logging.wandb.run is None  # schema default survives
