@@ -137,20 +137,32 @@ def bench_vnet3d_sliding_window():
         lambda a: a.astype(jnp.bfloat16)
         if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
 
+    # Serving-time kernel cache: the s2d kernel transforms are pure
+    # functions of the params; precomputing them (incl. the per-coupling-
+    # block stacks threaded through the scans) removes ~90 ms of traced
+    # gather/relayout chains per 56-window call (nn/layers.py:153,
+    # nn/invertible.py:_stacked_s2d_kernels).
+    from ganslate_tpu.nn.layers import precompute_s2d_kernels
+    cache = precompute_s2d_kernels(model, params,
+                                   jnp.zeros((1, *roi, 1), jnp.bfloat16))
+    pc = {"params": params, "s2d_kernels": cache}
+
     def network(p, x):
-        return model.apply({"params": p}, x.astype(jnp.bfloat16)).astype(jnp.float32)
+        return model.apply(
+            {"params": p["params"], "s2d_kernels": p["s2d_kernels"]},
+            x.astype(jnp.bfloat16)).astype(jnp.float32)
 
     inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=28,
                                    overlap=0.25, mode="gaussian")
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.uniform(-1, 1, volume_shape).astype(np.float32))
 
-    out = inferer(vol, network, params)   # compile + warmup
+    out = inferer(vol, network, pc)   # compile + warmup
     float(jax_device_get(out.ravel()[0]))
 
     start = time.perf_counter()
     for _ in range(repeats):
-        out = inferer(vol, network, params)
+        out = inferer(vol, network, pc)
     float(jax_device_get(out.ravel()[0]))
     elapsed = time.perf_counter() - start
 
@@ -172,8 +184,8 @@ def bench_vnet3d_sliding_window():
         invertible.SCAN_UNROLL = True
         try:
             fwd = jax.jit(lambda p, x: network(p, x))
-            cost = fwd.lower(params, jnp.zeros((28, *roi, 1),
-                                               jnp.float32)).compile().cost_analysis()
+            cost = fwd.lower(pc, jnp.zeros((28, *roi, 1),
+                                           jnp.float32)).compile().cost_analysis()
         finally:
             invertible.SCAN_UNROLL = 1
         if cost:

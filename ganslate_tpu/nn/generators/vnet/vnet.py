@@ -32,8 +32,8 @@ from ganslate_tpu.nn.separable import SeparableConv3d, SeparableConvTranspose3d
 def _conv(is_separable, spatial_dims, s2d=0):
     if is_separable:
         assert spatial_dims == 3, "separable convs are 3D-only"
-        assert s2d <= 1, "s2d execution space does not support separable convs"
-        return lambda feats, k, **kw: SeparableConv3d(feats, k, **kw)
+        return lambda feats, k, **kw: SeparableConv3d(feats, k, s2d_space=s2d,
+                                                      **kw)
     return lambda feats, k, **kw: Conv(feats, (k,) * spatial_dims,
                                        s2d_space=s2d, **kw)
 
@@ -41,8 +41,8 @@ def _conv(is_separable, spatial_dims, s2d=0):
 def _convt(is_separable, spatial_dims, s2d=0):
     if is_separable:
         assert spatial_dims == 3, "separable convs are 3D-only"
-        assert s2d <= 1, "s2d execution space does not support separable convs"
-        return lambda feats, k, **kw: SeparableConvTranspose3d(feats, k, **kw)
+        return lambda feats, k, **kw: SeparableConvTranspose3d(
+            feats, k, s2d_space=s2d, **kw)
     return lambda feats, k, **kw: ConvTranspose(feats, (k,) * spatial_dims,
                                                 s2d_space=s2d, **kw)
 
@@ -235,9 +235,10 @@ class VnetGenerator(nn.Module):
     weight_init_gain: float = 0.02
     # Beyond-reference TPU execution mode (exact, same parameters): run the
     # whole network in c-major space-to-depth space (ops/s2d_space.py) so
-    # every conv is >=128 output lanes on the MXU. 3D, zero-pad, non-separable,
-    # instance/none norm, even spatial extents at every level. Measured ~4x
-    # on V-Net level-0 convs (docs/benchmarks.md).
+    # every conv is >=128 output lanes on the MXU. 3D, zero-pad,
+    # instance/none norm, even spatial extents at every level (separable
+    # convs supported via per-dim mixed kernel plans). Measured ~4x on
+    # V-Net level-0 convs (docs/benchmarks.md).
     use_s2d_exec: bool = False
 
     def setup(self):
@@ -246,10 +247,8 @@ class VnetGenerator(nn.Module):
         if len(self.down_blocks) != len(self.up_blocks):
             raise ValueError("Number of `down_blocks` and `up_blocks` has to be equal.")
         if self.use_s2d_exec:
-            if self.spatial_dims != 3 or self.is_separable:
-                raise ValueError(
-                    "use_s2d_exec requires spatial_dims=3 and non-separable "
-                    "convs.")
+            if self.spatial_dims != 3:
+                raise ValueError("use_s2d_exec requires spatial_dims=3.")
         s2d = 2 if self.use_s2d_exec else 0
 
         init = make_initializer(self.weight_init_type, self.weight_init_gain)

@@ -180,10 +180,61 @@ class InvertibleSequence(nn.Module):
             seq = _make_sequence(apply_fn, reverse_params=inverse)
             return seq(self.stacked, x)
         # Plain (activation-storing) path.
+        unroll = self.n_blocks if PLAIN_UNROLL_FULL else SCAN_UNROLL
+        kt = self._stacked_s2d_kernels(x) if self.s2d > 1 else None
+        if kt is not None:
+            # Serving: thread the per-block transformed kernels through the
+            # scan so the halves skip their k->kt gather chains.
+            def apply_kt(pk, h):
+                p, k = pk
+                return self.block.apply(
+                    {"params": p, "s2d_kernels": k},
+                    h.astype(x.dtype)).astype(x.dtype)
+
+            step = _coupling_inverse if inverse else _coupling_forward
+
+            def body(h, pk):
+                p, k = pk
+                paired = {"F": (p["F"], k["F"]), "G": (p["G"], k["G"])}
+                return step(apply_kt, paired, h), None
+
+            y, _ = jax.lax.scan(body, x, (self.stacked, kt), reverse=inverse,
+                                unroll=unroll)
+            return y
         step = _coupling_inverse if inverse else _coupling_forward
         def body(h, p):
             return step(apply_fn, p, h), None
-        unroll = self.n_blocks if PLAIN_UNROLL_FULL else SCAN_UNROLL
         y, _ = jax.lax.scan(body, x, self.stacked, reverse=inverse,
                             unroll=unroll)
         return y
+
+    def _stacked_s2d_kernels(self, x):
+        """Serving-time s2d kernel cache for the coupling halves.
+
+        The halves run through raw ``block.apply`` inside the scan, so the
+        enclosing apply's ``s2d_kernels`` collection never reaches their
+        convs — they silently recomputed their kernel transforms every call
+        (traced at ~90 ms on the 56-window V-Net sliding-window program,
+        docs/benchmarks.md). This mirrors `layers._cached_kernel_transform`
+        one level up: the prepare pass (``mutable=["s2d_kernels"]``) records
+        a vmapped transform of the STACKED block params; ordinary serving
+        applies read it back and thread per-block slices through the scan.
+        Training applies (no collection supplied) are unchanged — the
+        transforms stay inside the graph so gradients flow to the canonical
+        kernels."""
+        mutable = self.is_mutable_collection("s2d_kernels")
+        if self.has_variable("s2d_kernels", "kt") and not mutable:
+            return self.get_variable("s2d_kernels", "kt")
+        if not mutable:
+            return None
+        half = x.shape[-1] // 2
+        dummy = jnp.zeros((*x.shape[:-1], half), x.dtype)
+
+        def one(p):
+            return self.block.apply({"params": p}, dummy,
+                                    mutable=["s2d_kernels"])[1]["s2d_kernels"]
+
+        kt = {"F": jax.vmap(one)(self.stacked["F"]),
+              "G": jax.vmap(one)(self.stacked["G"])}
+        self.put_variable("s2d_kernels", "kt", kt)
+        return kt

@@ -50,13 +50,81 @@ def _to_tuple(v: Union[int, Sequence[int]], n: int) -> Tuple[int, ...]:
 
 _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "edge": "edge"}
 
+# Hand-written pad backward (see _pad_spatial_bwd); module-level so A/B
+# harnesses can flip it.
+PAD_CUSTOM_VJP = True
+
 
 def pad_spatial(x: Array, pad: Sequence[int], mode: str = "zeros") -> Array:
     """Pad the spatial dims of a channels-last tensor (N, *spatial, C)."""
     if all(p == 0 for p in pad):
         return x
+    if PAD_CUSTOM_VJP and mode in ("reflect", "replicate", "edge") and all(
+            x.shape[1 + i] >= 2 * p + 2 for i, p in enumerate(pad)):
+        # Custom VJP: XLA lowers the autodiff transpose of the
+        # concat-of-flipped-slices jnp.pad into a chain of full-tensor
+        # slice+add fusions (~6 materializations of the padded tensor,
+        # traced at 16.5 ms/step on the CycleGAN-256 stem/head reflect
+        # pads, docs/benchmarks.md). The hand-written backward touches the
+        # tensor once per axis. The size guard keeps the border source
+        # regions disjoint (extent >= 2*pad + 2); smaller tensors take the
+        # autodiff path.
+        return _pad_spatial_ad(x, tuple(pad), mode)
     cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
     return jnp.pad(x, cfg, mode=_PAD_MODES[mode])
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pad_spatial_ad(x: Array, pad: Tuple[int, ...], mode: str) -> Array:
+    cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
+    return jnp.pad(x, cfg, mode=_PAD_MODES[mode])
+
+
+def _pad_spatial_fwd(x, pad, mode):
+    return _pad_spatial_ad(x, pad, mode), None
+
+
+def _pad_spatial_bwd(pad, mode, _, g):
+    # Reflect/replicate pads commute across axes, so the transpose can
+    # consume one axis at a time in any order: crop that axis's borders and
+    # accumulate them where the forward read them from (one concat per
+    # axis; every index is static).
+    for axis, p in enumerate(pad):
+        ax = axis + 1
+        if p == 0:
+            continue
+        n = g.shape[ax]
+        lo = jax.lax.slice_in_dim(g, 0, p, axis=ax)
+        hi = jax.lax.slice_in_dim(g, n - p, n, axis=ax)
+        core = jax.lax.slice_in_dim(g, p, n - p, axis=ax)
+        m = core.shape[ax]
+        if mode == "reflect":
+            # forward: [flip(x[1:p+1]), x, flip(x[-p-1:-1])]
+            segs = [
+                jax.lax.slice_in_dim(core, 0, 1, axis=ax),
+                jax.lax.slice_in_dim(core, 1, p + 1, axis=ax)
+                + jnp.flip(lo, ax),
+                jax.lax.slice_in_dim(core, p + 1, m - p - 1, axis=ax),
+                jax.lax.slice_in_dim(core, m - p - 1, m - 1, axis=ax)
+                + jnp.flip(hi, ax),
+                jax.lax.slice_in_dim(core, m - 1, m, axis=ax),
+            ]
+        else:  # replicate / edge: all border copies fold onto the edge rows
+            segs = [
+                jax.lax.slice_in_dim(core, 0, 1, axis=ax)
+                + jnp.sum(lo, axis=ax, keepdims=True),
+                jax.lax.slice_in_dim(core, 1, m - 1, axis=ax),
+                jax.lax.slice_in_dim(core, m - 1, m, axis=ax)
+                + jnp.sum(hi, axis=ax, keepdims=True),
+            ]
+        g = jnp.concatenate(segs, axis=ax)
+    return (g,)
+
+
+_pad_spatial_ad.defvjp(_pad_spatial_fwd, _pad_spatial_bwd)
 
 
 # -------------------------------------------------------------------- convs
@@ -231,6 +299,25 @@ class Conv(nn.Module):
             pads = [sp.strided_pads(k[0], r, pad[0], x.shape[1 + i])
                     for i in range(n)]
             conv_strides = (r,) * n
+        elif all(s in (1, r) for s in strides) and self.pad_mode == "zeros":
+            # Mixed per-dim geometry (separable convs: (1,k,k) s(1,s,s) /
+            # (k,1,1) s(s,1,1) factors). The kernel transforms compose
+            # per-dim, so each dim independently takes the stride-1 or the
+            # stride-r gather plan; the transformed conv then runs with
+            # per-dim strides.
+            plans, pads, conv_strides = [], [], []
+            for i in range(n):
+                if strides[i] == 1:
+                    plans.append(sp._stride1_plan(k[i], r, pad[i])[:2])
+                    pads.append(sp.stride1_pads(k[i], r, pad[i]))
+                    conv_strides.append(1)
+                else:
+                    plans.append(sp._strided_plan(k[i], r, pad[i])[:2])
+                    pads.append(sp.strided_pads(k[i], r, pad[i],
+                                                x.shape[1 + i]))
+                    conv_strides.append(r)
+            kt = transform(lambda: sp._apply_plan(kernel, tuple(plans), r))
+            conv_strides = tuple(conv_strides)
         else:
             raise NotImplementedError(
                 f"s2d execution space: unsupported conv geometry k={k} "
@@ -397,20 +484,18 @@ class ConvTranspose(nn.Module):
         rn = r ** n
         square = (all(ki == k[0] for ki in k) and all(v == p[0] for v in p)
                   and all(v == op[0] for v in op))
-        if not (s == (r,) * n and square):
-            raise NotImplementedError(
-                f"s2d execution space: unsupported transpose geometry k={k} "
-                f"s={s} p={p} op={op}")
         in_true = x.shape[-1] // rn
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_true, self.features), jnp.float32)
         spatial = "DHW"[3 - n:]
-        if k == (r,) * n and p[0] == 0 and op[0] == 0:
+        lhs_dil = (r,) * n
+        if s == (r,) * n and square and k == (r,) * n and p[0] == 0 \
+                and op[0] == 0:
             # k == s == r: tightest transformed window (extent r per dim).
             kt = _cached_kernel_transform(
                 self, lambda: sp.transform_up_kernel(kernel.astype(x.dtype), r))
             pads = [(r - 1, r - 1)] * n
-        else:
+        elif s == (r,) * n and square:
             # General geometry (e.g. Piresnet/Resnet3D k3 s2 p1 op1).
             for i in range(n):
                 out_orig = (x.shape[1 + i] * r - 1) * r - 2 * p[0] + k[0] + op[0]
@@ -425,10 +510,42 @@ class ConvTranspose(nn.Module):
                                                        r, p[0]))
             pads = [sp.up_general_pads(k[0], r, p[0], op[0], x.shape[1 + i])
                     for i in range(n)]
+        elif all(si == r or (si, k[i], p[i], op[i]) == (1, 1, 0, 0)
+                 for i, si in enumerate(s)):
+            # Mixed per-dim geometry (separable transposed factors:
+            # (1,k,k) s(1,s,s) / (k,1,1) s(s,1,1)). Stride-1 dims must be
+            # identity (k=1, p=0): the transformed kernel is the phase-delta
+            # the stride-1 plan produces for k=1, applied with no input
+            # dilation in that dim; stride-r dims take the general up plan.
+            plans, pads, lhs_dil = [], [], []
+            for i, si in enumerate(s):
+                if si == 1:
+                    plans.append(sp._stride1_plan(1, r, 0)[:2])
+                    pads.append((0, 0))
+                    lhs_dil.append(1)
+                else:
+                    out_orig = (x.shape[1 + i] * r - 1) * r - 2 * p[i] \
+                        + k[i] + op[i]
+                    if out_orig % r:
+                        raise ValueError(
+                            f"s2d ConvTranspose: original output extent "
+                            f"{out_orig} (dim {i}) must divide r={r}")
+                    plans.append(sp._up_general_plan(k[i], r, p[i])[:2])
+                    pads.append(sp.up_general_pads(k[i], r, p[i], op[i],
+                                                   x.shape[1 + i]))
+                    lhs_dil.append(r)
+            kt = _cached_kernel_transform(
+                self, lambda: sp._apply_plan(kernel.astype(x.dtype),
+                                             tuple(plans), r))
+            lhs_dil = tuple(lhs_dil)
+        else:
+            raise NotImplementedError(
+                f"s2d execution space: unsupported transpose geometry k={k} "
+                f"s={s} p={p} op={op}")
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
         y = jax.lax.conv_general_dilated(
-            x, kt, (1,) * n, pads, lhs_dilation=(r,) * n,
+            x, kt, (1,) * n, pads, lhs_dilation=lhs_dil,
             dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),

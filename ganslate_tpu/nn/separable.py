@@ -25,6 +25,7 @@ class SeparableConv3d(nn.Module):
     padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+    s2d_space: int = 0  # both factors run in the s2d execution space
 
     @nn.compact
     def __call__(self, x):
@@ -33,10 +34,12 @@ class SeparableConv3d(nn.Module):
         p = _triple(self.padding)
         h = Conv(self.features, (1, k[1], k[2]), strides=(1, s[1], s[2]),
                  padding=(0, p[1], p[2]), use_bias=self.use_bias,
-                 kernel_init=self.kernel_init, name="depthwise")(x)
+                 kernel_init=self.kernel_init, s2d_space=self.s2d_space,
+                 name="depthwise")(x)
         return Conv(self.features, (k[0], 1, 1), strides=(s[0], 1, 1),
                     padding=(p[0], 0, 0), use_bias=self.use_bias,
-                    kernel_init=self.kernel_init, name="pointwise")(h)
+                    kernel_init=self.kernel_init, s2d_space=self.s2d_space,
+                    name="pointwise")(h)
 
 
 class SeparableConvTranspose3d(nn.Module):
@@ -46,6 +49,7 @@ class SeparableConvTranspose3d(nn.Module):
     padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+    s2d_space: int = 0  # both factors run in the s2d execution space
 
     @nn.compact
     def __call__(self, x):
@@ -54,7 +58,9 @@ class SeparableConvTranspose3d(nn.Module):
         p = _triple(self.padding)
         h = ConvTranspose(self.features, (1, k[1], k[2]), strides=(1, s[1], s[2]),
                           padding=(0, p[1], p[2]), use_bias=self.use_bias,
-                          kernel_init=self.kernel_init, name="depthwise")(x)
+                          kernel_init=self.kernel_init,
+                          s2d_space=self.s2d_space, name="depthwise")(x)
         return ConvTranspose(self.features, (k[0], 1, 1), strides=(s[0], 1, 1),
                              padding=(p[0], 0, 0), use_bias=self.use_bias,
-                             kernel_init=self.kernel_init, name="pointwise")(h)
+                             kernel_init=self.kernel_init,
+                             s2d_space=self.s2d_space, name="pointwise")(h)

@@ -176,3 +176,43 @@ def test_batch_fold_exact_strided():
     # odd depth must not fold with stride 2
     assert not bf.foldable((5, 5, 6, 6, 8), (2, 2, 2), pads, 2)
     bf.FOLD_MAX_CELLS = 0
+
+
+class TestPadSpatialVJP:
+    """The custom pad_spatial backward must equal jnp.pad's autodiff
+    transpose exactly, for every mode/rank, including clamped-guard sizes."""
+
+    @pytest.mark.parametrize("mode", ["reflect", "replicate"])
+    @pytest.mark.parametrize("shape,pad", [
+        ((2, 12, 13, 3), (3, 3)),      # 2D, stem/head-style pad 3
+        ((2, 12, 13, 3), (1, 2)),      # asymmetric-per-axis pads
+        ((1, 8, 9, 10, 2), (1, 1, 1)), # 3D res-block style
+        ((1, 8, 4, 2), (3, 1)),        # W hits the 2*p+2 guard boundary
+    ])
+    def test_grad_matches_jnp_pad(self, mode, shape, pad):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from ganslate_tpu.nn.layers import pad_spatial, _PAD_MODES
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        cot = jnp.asarray(rng.normal(
+            size=(shape[0], *[s + 2 * p for s, p in zip(shape[1:-1], pad)],
+                  shape[-1])).astype(np.float32))
+
+        def f_custom(v):
+            return jnp.vdot(pad_spatial(v, pad, mode), cot)
+
+        def f_ref(v):
+            cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
+            return jnp.vdot(jnp.pad(v, cfg, mode=_PAD_MODES[mode]), cot)
+
+        out_c = jax.jit(lambda v: pad_spatial(v, pad, mode))(x)
+        out_r = jnp.pad(x, [(0, 0)] + [(p, p) for p in pad] + [(0, 0)],
+                        mode=_PAD_MODES[mode])
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_r))
+        g_c = jax.jit(jax.grad(f_custom))(x)
+        g_r = jax.jit(jax.grad(f_ref))(x)
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_r),
+                                   rtol=1e-6, atol=1e-6)

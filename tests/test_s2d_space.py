@@ -516,3 +516,99 @@ def test_precomputed_s2d_kernels_exact(rng):
     # The cache actually contains transformed kernels.
     leaves = jax.tree_util.tree_leaves(cache)
     assert leaves, "empty s2d kernel cache"
+    # ... and the forward actually CONSUMES it everywhere, including the
+    # coupling halves inside InvertibleSequence (which route collections
+    # manually): zeroing the whole cache must change the output. A silent
+    # recompute would make the zeroed run identical to the reference.
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, cache)
+    out_zero = jax.jit(lambda p, c, v: model.apply(
+        {"params": p, "s2d_kernels": c}, v))(params, zeroed, x)
+    assert float(jnp.abs(out_zero - ref).max()) > 1e-3, \
+        "zeroed s2d kernel cache did not affect the output: cache unused"
+    # Per-coupling-half kernels are in the cache (stacked under the
+    # sequence modules), not only the top-level conv transforms.
+    flat = jax.tree_util.tree_flatten_with_path(cache)[0]
+    assert any("core" in jax.tree_util.keystr(path) for path, _ in flat), \
+        f"no coupling-core kernels cached: {[jax.tree_util.keystr(p) for p, _ in flat][:8]}"
+
+
+@pytest.mark.parametrize("use_inverse", [False, True])
+def test_vnet_separable_s2d_exec_matches_plain(rng, use_inverse):
+    """is_separable V-Net in the s2d execution space == plain separable
+    execution with the SAME parameters. Exercises the mixed per-dim kernel
+    plans: (1,k,k)/(k,1,1) stride-1 factors, (1,2,2) s(1,2,2) partial-stride
+    downs, and identity-dim transposed ups (nn/layers.py `_call_s2d` mixed
+    branches; reference factorization /root/reference/ganslate/nn/separable.py)."""
+    from ganslate_tpu.nn.generators import Vnet3D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1, 1), up_blocks=(1, 1), is_separable=True,
+              use_memory_saving=False, use_inverse=use_inverse)
+    plain = Vnet3D(**kw)
+    s2d = Vnet3D(use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        params = plain.init(jax.random.key(0), x)
+        outs = [plain.apply(params, x), s2d.apply(params, x)]
+        if use_inverse:
+            outs += [plain.apply(params, x, inverse=True),
+                     s2d.apply(params, x, inverse=True)]
+        return outs
+
+    outs = run(x)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
+                               atol=2e-3, rtol=1e-3)
+    if use_inverse:
+        np.testing.assert_allclose(np.asarray(outs[3]), np.asarray(outs[2]),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_vnet_separable_s2d_exec_memory_saving_gradients(rng):
+    """Separable s2d + recompute-by-inverse VJP gradients == plain separable."""
+    from ganslate_tpu.nn.generators import Vnet3D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1,), up_blocks=(1,), is_separable=True,
+              use_inverse=False)
+    plain = Vnet3D(use_memory_saving=False, **kw)
+    s2d = Vnet3D(use_memory_saving=True, use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 1)).astype(np.float32))
+
+    @jax.jit
+    def grads(x):
+        params = plain.init(jax.random.key(0), x)
+        g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(s2d.apply(p, x) ** 2))(params)
+        return g1, g2
+
+    g1, g2 = grads(x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_separable_conv_s2d_anisotropic_extents(rng):
+    """The mixed-plan conv/transpose factors stay exact on anisotropic cell
+    grids (D != H != W), where per-dim pads/strides genuinely differ."""
+    from ganslate_tpu.nn.separable import (SeparableConv3d,
+                                           SeparableConvTranspose3d)
+
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 6)).astype(np.float32))
+    xs = sp.encode(x, 2)
+
+    for mod, kw in [
+        (SeparableConv3d, dict(features=6, kernel_size=5, padding=2)),
+        (SeparableConv3d, dict(features=8, kernel_size=2, strides=2)),
+        (SeparableConvTranspose3d, dict(features=3, kernel_size=2, strides=2)),
+    ]:
+        plain = mod(**kw)
+        folded = mod(s2d_space=2, **kw)
+        params = jax.jit(plain.init)(jax.random.key(1), x)
+        ref = jax.jit(plain.apply)(params, x)
+        got_s = jax.jit(folded.apply)(params, xs)
+        got = sp.decode(got_s, ref.shape[-1], 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3)
