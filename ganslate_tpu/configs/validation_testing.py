@@ -21,17 +21,22 @@ class SlidingWindowConfig:
 
 @dataclass
 class SpatialShardingConfig:
-    """Full-volume inference sharded ACROSS the mesh (halo-exchange conv
-    parallelism; see parallel/spatial.py) — the TPU-native alternative to
-    sliding windows when the whole volume fits when split over chips.
-    Beyond-reference capability.
+    """Full-volume inference sharded ACROSS the mesh — the TPU-native
+    alternative to sliding windows when the whole volume fits when split
+    over chips (parallel/spatial.py). Beyond-reference capability.
 
-    Semantics: convolutions are exact given a sufficient halo; normalization
-    statistics (instance norm) are computed per shard (+halo) rather than
-    over the full volume — negligible on large volumes, and exact for
-    norm-free networks."""
-    # Input-slice overlap exchanged between neighboring shards; must cover
-    # the network's receptive-field half-width for exact outputs.
+    method='gspmd' (default): jit the network with the input sharded along
+    `dim` and let XLA partition it — conv halos and GLOBAL instance-norm
+    statistics are inserted automatically, so the output is exact vs the
+    unsharded forward (same mechanism as `train.spatial_mesh` training).
+    method='halo': manual neighbor halo exchange via shard_map; convolutions
+    are exact given a sufficient halo, but instance-norm statistics are per
+    shard (+halo) — bounded neighbor-only communication in exchange for a
+    stats approximation (negligible on large volumes, exact for norm-free
+    nets)."""
+    method: str = "gspmd"
+    # ('halo' only) input-slice overlap exchanged between neighboring
+    # shards; must cover the network's receptive-field half-width.
     halo: int = 8
     # Spatial dimension to shard, 0-based over the spatial axes
     # (0 = depth for NDHWC volumes, 0 = height for NHWC images).

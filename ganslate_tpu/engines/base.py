@@ -50,15 +50,20 @@ class BaseEngineWithInference(BaseEngine):
             fn, params = self.model.get_pure_infer(*args, **kwargs)
             return self.sliding_window_inferer(data, fn, params)
         if self.spatial_sharding and get_mesh().devices.size > 1:
-            # Full-volume inference sharded over the mesh with halo exchange
-            # (config: spatial_sharding.{halo,dim}; parallel/spatial.py).
-            from ganslate_tpu.parallel.spatial import spatially_sharded_infer
+            # Full-volume inference sharded over the mesh (config:
+            # spatial_sharding.{method,halo,dim}; parallel/spatial.py):
+            # 'gspmd' = XLA-partitioned, exact incl. global norm stats;
+            # 'halo' = manual neighbor halo exchange.
             import jax.numpy as jnp
+            from ganslate_tpu.parallel import spatial
             fn, params = self.model.get_pure_infer(*args, **kwargs)
-            return spatially_sharded_infer(
+            dim = self.spatial_sharding.dim + 1  # +1: batch dim first
+            if getattr(self.spatial_sharding, "method", "gspmd") == "gspmd":
+                return spatial.spatially_sharded_infer_gspmd(
+                    fn, params, jnp.asarray(data), get_mesh(), dim=dim)
+            return spatial.spatially_sharded_infer(
                 fn, params, jnp.asarray(data), get_mesh(),
-                halo=self.spatial_sharding.halo,
-                dim=self.spatial_sharding.dim + 1)  # +1: batch dim first
+                halo=self.spatial_sharding.halo, dim=dim)
         data = shard_batch({"x": data})["x"]
         return self.model.infer(data, *args, **kwargs)
 

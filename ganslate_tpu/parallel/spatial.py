@@ -122,3 +122,31 @@ def spatially_sharded_infer(network_fn: Callable, params, x: jax.Array,
                         check_rep=False)
     x = jax.device_put(x, NamedSharding(mesh, P(*spec)))
     return sharded(params, x)
+
+
+def spatially_sharded_infer_gspmd(network_fn: Callable, params, x: jax.Array,
+                                  mesh: Mesh, dim: int = 1,
+                                  axis: str = "data") -> jax.Array:
+    """EXACT full-volume inference sharded along spatial `dim` via GSPMD.
+
+    Instead of manual halo exchange, jit the whole network with a sharded
+    input and let XLA partition it: convolutions get automatic neighbor
+    halo collectives, and instance-norm statistics are computed with GLOBAL
+    reductions — so the result equals the unsharded forward (no per-shard
+    stats approximation and no receptive-field halo to configure). This is
+    the same mechanism the spatially-sharded TRAINING path uses
+    (`train.spatial_mesh`, gradient-parity-tested in
+    tests/test_spatial_sharding.py); the manual-halo `spatially_sharded_infer`
+    stays available for nets where bounded neighbor communication is
+    preferred over XLA's partitioning choices."""
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    sharding = NamedSharding(mesh, P(*spec))
+    replicated = NamedSharding(mesh, P())
+    fn = jax.jit(network_fn,
+                 in_shardings=(jax.tree_util.tree_map(lambda _: replicated,
+                                                      params), sharding),
+                 out_shardings=sharding)
+    params = jax.device_put(params, replicated)
+    x = jax.device_put(x, sharding)
+    return fn(params, x)

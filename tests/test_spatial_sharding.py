@@ -245,3 +245,30 @@ def test_spatial_mesh_train_step(tmp_path):
     for k in losses_plain:
         np.testing.assert_allclose(losses_spatial[k], losses_plain[k],
                                    rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_gspmd_spatial_infer_exact_with_instance_norm():
+    """`spatially_sharded_infer_gspmd` equals the unsharded forward even for
+    a net WITH instance norm — GSPMD globalizes the norm reductions, which
+    is exactly the case where the manual-halo path is only approximate
+    (parallel/spatial.py docstring). This lifts the per-shard-stats caveat
+    for inference (engine method='gspmd', the default)."""
+    from ganslate_tpu.nn.generators import Vnet3D
+    from ganslate_tpu.parallel.spatial import spatially_sharded_infer_gspmd
+
+    mesh = get_mesh()
+    n = mesh.devices.size
+    model = Vnet3D(in_channels=1, out_channels=1, first_layer_channels=4,
+                   down_blocks=(1, 1), up_blocks=(1, 1),
+                   use_memory_saving=False, use_inverse=False)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 4 * n, 8, 8, 1)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.key(0), x)["params"]
+
+    def fn(params, v):
+        return model.apply({"params": params}, v)
+
+    want = np.asarray(jax.jit(fn)(params, x))
+    got = np.asarray(spatially_sharded_infer_gspmd(fn, params, x, mesh, dim=1))
+    # Exact up to reduction-order float noise (instance-norm psum).
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
