@@ -40,6 +40,10 @@ import optax
 from flax import struct
 
 from ganslate_tpu.parallel import get_mesh, replicate_to_mesh, shard_batch
+
+# Batched real/fake discriminator forwards (see `apply_batched`);
+# module-level so A/B harnesses can flip it.
+FUSED_D_FORWARD = True
 from ganslate_tpu.utils import communication
 from ganslate_tpu.utils.metrics.train_metrics import TrainingMetrics
 
@@ -138,6 +142,34 @@ class BaseGAN(ABC):
             b2=tr.gan.optimizer.beta2,
         )
         return opt
+
+    def apply_batched(self, name: str, params, xs, rng=None):
+        """Apply network `name` to several same-shaped inputs as ONE batched
+        forward when that is exact, else fall back to one apply per input.
+
+        The reference dispatches D(real) and D(fake) as separate module
+        calls (e.g. cyclegan.py:154-189); for a deterministic per-sample
+        discriminator (convs + instance norm + pointwise activations — no
+        dropout, no per-call random crops, no batch-norm cross-sample
+        stats) the concatenated forward computes the exact same numbers
+        with twice the matmul batch, halving per-layer dispatch/fixed
+        costs on the MXU. Stochastic or batch-norm modules keep the
+        per-call path (fresh rng per call, per-call batch stats — the
+        reference's train-mode semantics)."""
+        module = self.networks[name]
+        fusable = (FUSED_D_FORWARD
+                   and not getattr(module, "use_dropout", False)
+                   and not getattr(module, "stochastic_rngs", ())
+                   and getattr(module, "norm_type", None) != "batch")
+        if not fusable:
+            keys = (jax.random.split(rng, len(xs)) if rng is not None
+                    else [None] * len(xs))
+            return [self.apply(name, params, x, rng=k)
+                    for x, k in zip(xs, keys)]
+        b = xs[0].shape[0]
+        out = self.apply(name, params, jnp.concatenate(xs, axis=0))
+        return [jax.lax.slice_in_dim(out, i * b, (i + 1) * b, axis=0)
+                for i in range(len(xs))]
 
     def apply(self, name: str, params, x, rng=None, **kwargs):
         """Run a network under the compute-dtype policy. `params` is the

@@ -69,6 +69,7 @@ class Pix2PixConditionalGAN(BaseGAN):
 
     def make_train_step(self):
         apply = self.apply
+        apply_batched = self.apply_batched
         criterion_adv = self.criterion_adv
         criterion_pix2pix = self.criterion_pix2pix
         training_metrics = self.training_metrics
@@ -88,13 +89,10 @@ class Pix2PixConditionalGAN(BaseGAN):
                                     "real_B": real_B})
 
         def d_loss(params_D, real_A, real_B, fake_B, key):
-            k_real, k_fake = jax.random.split(key)
-            pred_real = apply("D", params_D["D"],
-                              jnp.concatenate([real_A, real_B], axis=-1),
-                              rng=k_real)
-            pred_fake = apply("D", params_D["D"],
-                              jnp.concatenate([real_A, fake_B], axis=-1),
-                              rng=k_fake)
+            pred_real, pred_fake = apply_batched(
+                "D", params_D["D"],
+                [jnp.concatenate([real_A, real_B], axis=-1),
+                 jnp.concatenate([real_A, fake_B], axis=-1)], rng=key)
             loss = (criterion_adv(pred_real, True) + criterion_adv(pred_fake, False))
             return loss, (pred_real, pred_fake)
 

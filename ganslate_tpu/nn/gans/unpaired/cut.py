@@ -182,6 +182,7 @@ class CUT(BaseGAN):
 
     def make_train_step(self):
         apply = self.apply
+        apply_batched = self.apply_batched
         criterion_adv = self.criterion_adv
         criterion_nce = self.criterion_nce
         nce_layers = list(self.nce_layers)
@@ -237,9 +238,8 @@ class CUT(BaseGAN):
             return total / len(nce_layers)
 
         def d_loss(params_D, real_B, fake_B, key):
-            k_real, k_fake = jax.random.split(key)
-            pred_real = apply("D", params_D["D"], real_B, rng=k_real)
-            pred_fake = apply("D", params_D["D"], fake_B, rng=k_fake)
+            pred_real, pred_fake = apply_batched(
+                "D", params_D["D"], [real_B, fake_B], rng=key)
             loss = criterion_adv(pred_real, True) + criterion_adv(pred_fake, False)
             return loss, (pred_real, pred_fake)
 

@@ -78,6 +78,7 @@ class CycleGAN(BaseGAN):
 
     def make_train_step(self):
         apply = self.apply
+        apply_batched = self.apply_batched
         criterion_adv = self.criterion_adv
         criterion_G = self.criterion_G
         use_identity = criterion_G.is_using_identity()
@@ -113,14 +114,16 @@ class CycleGAN(BaseGAN):
             return total, (losses, visuals)
 
         def d_loss(params_D, real_A, real_B, fake_A, fake_B, key):
-            """Both discriminator objectives against pooled (stale) fakes."""
-            ks = jax.random.split(key, 4)
-            preds = {
-                "real_B": apply("D_B", params_D["D_B"], real_B, rng=ks[0]),
-                "fake_B": apply("D_B", params_D["D_B"], fake_B, rng=ks[1]),
-                "real_A": apply("D_A", params_D["D_A"], real_A, rng=ks[2]),
-                "fake_A": apply("D_A", params_D["D_A"], fake_A, rng=ks[3]),
-            }
+            """Both discriminator objectives against pooled (stale) fakes.
+            Real/fake run as one batched D forward when exact
+            (BaseGAN.apply_batched)."""
+            ks = jax.random.split(key, 2)
+            pred_real_B, pred_fake_B = apply_batched(
+                "D_B", params_D["D_B"], [real_B, fake_B], rng=ks[0])
+            pred_real_A, pred_fake_A = apply_batched(
+                "D_A", params_D["D_A"], [real_A, fake_A], rng=ks[1])
+            preds = {"real_B": pred_real_B, "fake_B": pred_fake_B,
+                     "real_A": pred_real_A, "fake_A": pred_fake_A}
             loss_D_B = (criterion_adv(preds["real_B"], True) +
                         criterion_adv(preds["fake_B"], False))
             loss_D_A = (criterion_adv(preds["real_A"], True) +

@@ -112,3 +112,55 @@ def test_checkpoint_roundtrip(model_and_batch, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params_saved),
                     jax.tree_util.tree_leaves(params_restored)):
         np.testing.assert_allclose(a, b)
+
+
+def test_fused_d_forward_is_exact(tmp_path):
+    """apply_batched (one batched D forward over [real, fake]) computes the
+    SAME function as per-call D forwards: instance norm and convs are
+    per-sample, so concatenating the batch changes nothing but the dispatch
+    (nn/gans/base.py:apply_batched). Bit-equality is NOT expected — XLA
+    tiles the 2B-batch conv with a different reduction order than the
+    B-batch one — so assert (a) the raw predictions match at tight fp32
+    tolerance, and (b) a training step's losses agree. (Comparing params
+    after several Adam steps would be chaotic: Adam normalizes tiny
+    gradients, amplifying 1e-7 forward noise to lr-scale differences.)"""
+    from ganslate_tpu.nn.gans import base as gan_base
+
+    conf = tiny_cyclegan_conf(tmp_path)
+    rng = np.random.default_rng(3)
+    batch = {
+        "A": rng.uniform(-1, 1, (8, 32, 32, 1)).astype(np.float32),
+        "B": rng.uniform(-1, 1, (8, 32, 32, 1)).astype(np.float32),
+    }
+    model = build_gan(conf)
+    model.setup(example_batch=batch)
+
+    # (a) Functional equality of the batched dispatch itself.
+    params_D = jax.device_get(model.state.params["D_B"])
+    xs = [jnp.asarray(batch["A"]), jnp.asarray(batch["B"])]
+    fused = model.apply_batched("D_B", params_D, xs)
+    per_call = [model.apply("D_B", params_D, x) for x in xs]
+    assert len(fused) == 2 and fused[0].shape == per_call[0].shape
+    for f, u in zip(fused, per_call):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(u),
+                                   rtol=1e-5, atol=1e-6)
+
+    # (b) One train step's losses agree between the two dispatch modes.
+    def losses_after_step(fuse_flag):
+        gan_base.FUSED_D_FORWARD = fuse_flag
+        try:
+            conf2 = tiny_cyclegan_conf(tmp_path / f"fused_{fuse_flag}")
+            m = build_gan(conf2)
+            m.setup(example_batch=batch)
+            m.set_input(batch)
+            m.optimize_parameters()
+            return {k: float(jax.device_get(v)) for k, v in m.losses.items()}
+        finally:
+            gan_base.FUSED_D_FORWARD = True
+
+    losses_f = losses_after_step(True)
+    losses_u = losses_after_step(False)
+    assert losses_f.keys() == losses_u.keys()
+    for k in losses_f:
+        np.testing.assert_allclose(losses_f[k], losses_u[k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
