@@ -114,7 +114,11 @@ class SlidingWindowInferer:
         if self.distributed:
             from ganslate_tpu.parallel import get_mesh
             candidate = get_mesh()
-            if candidate.devices.size > 1:
+            # The window grid is sharded over the DATA axis only; meshes with
+            # extra axes (e.g. train.spatial_mesh's "spatial") replicate the
+            # grid across those axes, so the split size must be the data-axis
+            # size, not the total device count.
+            if "data" in candidate.shape and candidate.shape["data"] > 1:
                 mesh = candidate
 
         key = (inputs.shape, str(inputs.dtype), roi, squeeze_depth, id(network),
@@ -141,7 +145,7 @@ class SlidingWindowInferer:
         n_windows = starts.shape[0]
         sw_batch = min(self.sw_batch_size, n_windows)
         n_batches = -(-n_windows // sw_batch)
-        n_dev = mesh.devices.size if mesh is not None else 1
+        n_dev = mesh.shape["data"] if mesh is not None else 1
         # Round window batches up to a multiple of the device count so the
         # grid splits evenly across the mesh.
         n_batches = -(-n_batches // n_dev) * n_dev
@@ -307,7 +311,7 @@ class SlidingWindowInferer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from jax.experimental.shard_map import shard_map
 
-        n_dev = mesh.devices.size
+        n_dev = mesh.shape["data"]
         starts_sharded = starts_dev.reshape(n_dev, n_batches // n_dev,
                                             sw_batch, rank)
         valid_sharded = valid_dev.reshape(n_dev, n_batches // n_dev, sw_batch)
