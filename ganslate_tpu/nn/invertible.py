@@ -222,7 +222,10 @@ class InvertibleSequence(nn.Module):
         Training applies (no collection supplied) are unchanged — the
         transforms stay inside the graph so gradients flow to the canonical
         kernels."""
-        mutable = self.is_mutable_collection("s2d_kernels")
+        # During `init` every collection is mutable — treat that as "no
+        # cache" so init output keeps the plain network's variable tree.
+        mutable = (self.is_mutable_collection("s2d_kernels")
+                   and not self.is_initializing())
         if self.has_variable("s2d_kernels", "kt") and not mutable:
             return self.get_variable("s2d_kernels", "kt")
         if not mutable:

@@ -145,7 +145,10 @@ def _cached_kernel_transform(mdl: nn.Module, compute: Callable) -> Array:
             and not mdl.is_mutable_collection("s2d_kernels"):
         return mdl.get_variable("s2d_kernels", "kt")
     kt = compute()
-    if mdl.is_mutable_collection("s2d_kernels"):
+    # Record only during an explicit prepare pass — during `init` every
+    # collection is mutable, and the cache must NOT leak into init output
+    # (it would change the variable-tree structure vs the plain network).
+    if mdl.is_mutable_collection("s2d_kernels") and not mdl.is_initializing():
         mdl.put_variable("s2d_kernels", "kt", kt)
     return kt
 
