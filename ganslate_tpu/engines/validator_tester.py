@@ -38,10 +38,11 @@ class BaseValTestEngine(BaseEngineWithInference):
         if not getattr(mconf, "fid", False):
             return None
         weights = getattr(mconf, "fid_weights", None)
-        assert weights, \
-            ("metrics.fid requires metrics.fid_weights: a torchvision "
-             "inception_v3 state_dict (.pth); see ganslate_tpu/nn/inception.py "
-             "for how to produce one")
+        if not weights:
+            raise ValueError(
+                "metrics.fid requires metrics.fid_weights: a torchvision "
+                "inception_v3 state_dict (.pth); see ganslate_tpu/nn/"
+                "inception.py for how to produce one")
         from ganslate_tpu.nn.inception import (fid_feature_fn,
                                                load_torch_inception_file)
         from ganslate_tpu.utils.metrics.fid import FID
@@ -79,8 +80,12 @@ class BaseValTestEngine(BaseEngineWithInference):
                     self.fid.update(np.asarray(self.visuals["fake_B"]), "fake")
 
             set_metrics = None
-            if self.fid is not None and self.fid._feats["real"]:
-                set_metrics = {"fid": self.fid.compute()}
+            if self.fid is not None:
+                # Collective (uniform across processes): merge every
+                # process's features so FID covers the whole set.
+                self.fid.sync_across_processes()
+                if self.fid.num_samples("real"):
+                    set_metrics = {"fid": self.fid.compute()}
                 self.fid.reset()
             self.tracker.log_samples(current_idx, dataset_name=dataset_name,
                                      set_metrics=set_metrics)

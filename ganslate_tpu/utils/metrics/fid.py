@@ -84,6 +84,24 @@ class FID:
             f"feature_fn must return (N, D) features, got {feats.shape}"
         self._feats[which].append(feats)
 
+    def num_samples(self, which: str = "real") -> int:
+        return sum(f.shape[0] for f in self._feats[which])
+
+    def sync_across_processes(self):
+        """Merge features from all processes (multi-controller runs) so the
+        computed FID covers the WHOLE val/test set, not the local shard.
+        Collective: every process must call it (the engine does, once per
+        dataset). No-op single-process."""
+        from ganslate_tpu.utils import communication
+        if not communication.is_distributed():
+            return
+        for which in ("real", "fake"):
+            local = (np.concatenate(self._feats[which], axis=0)
+                     if self._feats[which] else None)
+            gathered = [g for g in communication.all_gather(local)
+                        if g is not None]
+            self._feats[which] = gathered
+
     def compute(self) -> float:
         real = np.concatenate(self._feats["real"], axis=0)
         fake = np.concatenate(self._feats["fake"], axis=0)
