@@ -155,12 +155,25 @@ class BaseGAN(ABC):
         with twice the matmul batch, halving per-layer dispatch/fixed
         costs on the MXU. Stochastic or batch-norm modules keep the
         per-call path (fresh rng per call, per-call batch stats — the
-        reference's train-mode semantics)."""
+        reference's train-mode semantics).
+
+        Fusion is OPT-IN by convention: a module is only fused when it
+        declares the framework's `norm_type` attribute (all in-tree
+        discriminators do) — custom project modules that don't follow the
+        attribute conventions take the safe per-call path rather than being
+        silently fused with possibly changed semantics. A module may also
+        force the decision either way with a boolean `batch_fusable`
+        attribute."""
         module = self.networks[name]
-        fusable = (FUSED_D_FORWARD
-                   and not getattr(module, "use_dropout", False)
-                   and not getattr(module, "stochastic_rngs", ())
-                   and getattr(module, "norm_type", None) != "batch")
+        declared = getattr(module, "batch_fusable", None)
+        if declared is not None:
+            fusable = FUSED_D_FORWARD and bool(declared)
+        else:
+            fusable = (FUSED_D_FORWARD
+                       and getattr(module, "norm_type", None) is not None
+                       and module.norm_type != "batch"
+                       and not getattr(module, "use_dropout", False)
+                       and not getattr(module, "stochastic_rngs", ()))
         if not fusable:
             keys = (jax.random.split(rng, len(xs)) if rng is not None
                     else [None] * len(xs))
