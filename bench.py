@@ -197,7 +197,30 @@ def bench_vnet3d_sliding_window():
     return result
 
 
+def _probe_backend(timeout_s: int = 600) -> str:
+    """Fail fast (with a diagnostic) instead of hanging when the TPU relay
+    endpoint is down: jax.devices() on the relay transport blocks
+    INDEFINITELY if the tunnel is broken, which would hang the whole bench.
+    Probe in a subprocess with a timeout; returns the platform string."""
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            "bench: backend probe timed out — the TPU relay endpoint is "
+            "unreachable (jax.devices() blocks forever on a broken tunnel). "
+            "Re-run when the chip is back, or force JAX_PLATFORMS=cpu.")
+    if out.returncode != 0:
+        raise SystemExit(f"bench: backend probe failed:\n{out.stderr.strip()}")
+    return out.stdout.strip()
+
+
 def main():
+    _probe_backend()
     train = bench_cyclegan_train()
     infer3d = bench_vnet3d_sliding_window()
     print(json.dumps({
