@@ -247,8 +247,9 @@ class VnetGenerator(nn.Module):
         if len(self.down_blocks) != len(self.up_blocks):
             raise ValueError("Number of `down_blocks` and `up_blocks` has to be equal.")
         if self.use_s2d_exec:
-            if self.spatial_dims != 3:
-                raise ValueError("use_s2d_exec requires spatial_dims=3.")
+            if self.spatial_dims not in (2, 3):
+                raise ValueError("use_s2d_exec requires spatial_dims in "
+                                 "(2, 3).")
         s2d = 2 if self.use_s2d_exec else 0
 
         init = make_initializer(self.weight_init_type, self.weight_init_gain)

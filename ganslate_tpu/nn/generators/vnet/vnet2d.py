@@ -13,6 +13,9 @@ class Vnet2DConfig(configs.base.BaseGeneratorConfig):
     use_memory_saving: bool = True
     use_inverse: bool = True
     first_layer_channels: int = 16
+    # TPU execution mode (exact, same checkpoints): run the network with
+    # 2x2 spatial cells folded into channels (ops/s2d_space.py).
+    use_s2d_exec: bool = False
 
 
 class Vnet2D(VnetGenerator):

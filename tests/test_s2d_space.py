@@ -612,3 +612,74 @@ def test_separable_conv_s2d_anisotropic_extents(rng):
         got = sp.decode(got_s, ref.shape[-1], 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-3, rtol=1e-3)
+
+
+# ------------------------------------------------- 2D V-Net s2d execution
+
+
+@pytest.mark.parametrize("use_inverse", [False, True])
+def test_vnet2d_s2d_exec_matches_plain(rng, use_inverse):
+    """The s2d execution space is rank-generic: Vnet2D(use_s2d_exec=True) ==
+    Vnet2D(False) with the SAME parameters (2x2 cells, 4x channel fold)."""
+    from ganslate_tpu.nn.generators import Vnet2D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1, 2), up_blocks=(2, 1),
+              use_memory_saving=False, use_inverse=use_inverse)
+    plain = Vnet2D(**kw)
+    s2d = Vnet2D(use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        params = plain.init(jax.random.key(0), x)
+        outs = [plain.apply(params, x), s2d.apply(params, x)]
+        if use_inverse:
+            outs += [plain.apply(params, x, inverse=True),
+                     s2d.apply(params, x, inverse=True)]
+        return outs
+
+    outs = run(x)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
+                               atol=2e-3, rtol=1e-3)
+    if use_inverse:
+        np.testing.assert_allclose(np.asarray(outs[3]), np.asarray(outs[2]),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_vnet2d_s2d_exec_gradients_and_taps(rng):
+    """2D s2d gradients (through the recompute-by-inverse VJP) and the CUT
+    encoder taps (decoded back to the original grid) match plain exec."""
+    from ganslate_tpu.nn.generators import Vnet2D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1,), up_blocks=(1,), use_inverse=False)
+    plain = Vnet2D(use_memory_saving=False, **kw)
+    s2d = Vnet2D(use_memory_saving=True, use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 1)).astype(np.float32))
+
+    @jax.jit
+    def grads(x):
+        params = plain.init(jax.random.key(2), x)
+        g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(s2d.apply(p, x) ** 2))(params)
+        return g1, g2
+
+    g1, g2 = grads(x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-3)
+
+    @jax.jit
+    def taps(x):
+        params = plain.init(jax.random.key(2), x)
+        t1 = plain.apply(params, x, extract_features=[0, 1])
+        t2 = s2d.apply(params, x, extract_features=[0, 1])
+        return t1, t2
+
+    t1, t2 = taps(x)
+    for a, b in zip(t1, t2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-3, rtol=1e-3)
