@@ -146,12 +146,13 @@ def flax_param_spec(module, dummy_input, **call_kwargs) -> List[SpecEntry]:
     fnn.Module.param = recording_param
     fnn.Module.init = recording_init
     try:
+        # dummy_input may be a pytree (e.g. CUT's mlp takes a LIST of
+        # per-level feature matrices) — build zeros leaf-wise.
+        zeros = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, getattr(a, "dtype", jnp.float32)),
+            dummy_input)
         variables = jax.eval_shape(
-            lambda: module.init(jax.random.key(0),
-                                jnp.zeros(dummy_input.shape,
-                                          getattr(dummy_input, "dtype",
-                                                  jnp.float32)),
-                                **call_kwargs))
+            lambda: module.init(jax.random.key(0), zeros, **call_kwargs))
     finally:
         fnn.Module.param = original_param
         fnn.Module.init = original_init
@@ -353,8 +354,11 @@ def import_torch_checkpoint(path, model, example_batch: Dict[str, Any]):
         assert name in checkpoint, \
             f"checkpoint has no entry for network `{name}`; keys: {list(checkpoint)}"
         dummy = model._dummy_input(name, batch_spec)
-        spec = flax_param_spec(module, jax.ShapeDtypeStruct(dummy.shape,
-                                                            jnp.float32))
+        # Pytree-valued dummies (e.g. CUT's mlp takes a LIST of per-level
+        # feature matrices) map leaf-wise to abstract shapes.
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.float32), dummy)
+        spec = flax_param_spec(module, abstract)
         params[name] = convert_state_dict(checkpoint[name], spec)
         logger.info(f"Imported torch weights for network {name}.")
 

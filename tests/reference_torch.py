@@ -188,9 +188,10 @@ def load_reference_gans():
     with _lenient_dataclasses():
         from ganslate.nn.gans.paired.pix2pix import Pix2PixConditionalGAN
         from ganslate.nn.gans.unpaired.cyclegan import CycleGAN
+        from ganslate.nn.gans.unpaired.cut import CUT
         from ganslate.nn.gans.unpaired.revgan import RevGAN
     return {"CycleGAN": CycleGAN, "Pix2Pix": Pix2PixConditionalGAN,
-            "RevGAN": RevGAN}
+            "RevGAN": RevGAN, "CUT": CUT}
 
 
 def load_reference_nn():

@@ -55,10 +55,10 @@ def _batches(seed, n, spatial=(IMG, IMG), ch=CH):
 
 
 def _ref_conf(tmp_path, gan_target, optimizer_extras, d_in_channels,
-              generator=_G_2D, discriminator=None):
+              generator=_G_2D, discriminator=None, gan_extras=None):
     """Config tree shaped exactly like the reference's resolved OmegaConf
-    (only the keys its CycleGAN/Pix2Pix/RevGAN code paths read)."""
-    return RefConf.create({
+    (only the keys its CycleGAN/Pix2Pix/RevGAN/CUT code paths read)."""
+    conf = RefConf.create({
         "mode": "train",
         "train": {
             "output_dir": str(tmp_path),
@@ -91,10 +91,13 @@ def _ref_conf(tmp_path, gan_target, optimizer_extras, d_in_channels,
             },
         },
     })
+    if gan_extras:
+        conf["train"]["gan"].update(RefConf.create(gan_extras))
+    return conf
 
 
 def _our_conf(tmp_path, gan_target, optimizer_extras, d_in_channels,
-              generator=None, discriminator=None):
+              generator=None, discriminator=None, gan_extras=None):
     raw = {
         "train": {
             "output_dir": str(tmp_path),
@@ -136,7 +139,9 @@ def _our_conf(tmp_path, gan_target, optimizer_extras, d_in_channels,
             "seed": 0,
         },
     }
-    if "pix2pix" in gan_target:
+    if gan_extras:
+        raw["train"]["gan"].update(gan_extras)
+    if "pix2pix" in gan_target or "CUT" in gan_target:
         raw["train"]["gan"].pop("pool_size")
     return init_config(Conf.create(raw), config_class=Config)
 
@@ -182,8 +187,9 @@ def _flat_param_diff(our_model, ref_model, batch_spec):
         dummy = our_model._dummy_input(
             name, {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                    for k, v in batch_spec.items()})
-        spec = flax_param_spec(module, jax.ShapeDtypeStruct(dummy.shape,
-                                                            np.float32))
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.float32), dummy)
+        spec = flax_param_spec(module, abstract)
         ref_params = convert_state_dict(ref_model.networks[name].state_dict(),
                                         spec)
         ours = jax.device_get(our_model.state.params[name])
@@ -365,9 +371,7 @@ def test_revgan_lockstep(tmp_path, monkeypatch):
     memory-constant couplings, separate D_A/D_B, D step on pooled fakes with
     retain_graph. Lockstep pins the recompute-by-inverse custom VJP's
     gradients against torch autograd through the coupling stubs, plus the
-    shared-G update dynamics. (CUT is the one family without a lockstep:
-    its per-layer random patch selection has no cross-framework RNG
-    alignment; its forward/loss parity is covered by test_cut.py.)"""
+    shared-G update dynamics."""
     os.environ.pop("WORLD_SIZE", None)
     # The reference model's INIT consumes torch's global RNG; pin it so
     # the trained trajectory (and hence the chaos-tolerance check) does
@@ -401,3 +405,57 @@ def test_revgan_lockstep(tmp_path, monkeypatch):
 
     _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
               loss_names=["G_AB", "G_BA", "cycle_A", "cycle_B", "D_A", "D_B"])
+
+
+def test_cut_lockstep(tmp_path, monkeypatch):
+    """CUT: D updates FIRST, then a joint G+mlp update against the updated D
+    (reference cut.py:113-128); NCE over per-level projected patches with the
+    reference's weighting quirks (NCE logged unweighted, the combined loss
+    uses (1-λ)·NCE + λ·NCE_idt). The only cross-framework RNG is the
+    per-level patch selection — pinned IDENTICALLY on both sides by turning
+    the permutation into arange (torch.randperm / jax.random.permutation), so
+    both select the first num_patches positions and the remaining math must
+    lockstep. The reference reads `gan.generator.in_channels`, a key its own
+    schema does not define (cut.py:82-83 — latent bug); supplied explicitly."""
+    import jax.numpy as jnp
+
+    os.environ.pop("WORLD_SIZE", None)
+    torch.manual_seed(0)
+    monkeypatch.setattr(torch, "randperm",
+                        lambda n, device=None: torch.arange(n, device=device))
+    monkeypatch.setattr(jax.random, "permutation",
+                        lambda key, n, **kw: jnp.arange(n))
+
+    opt = {"lambda_adv": 1.0, "lambda_nce": 1.0, "lambda_nce_idt": 0.5,
+           "nce_T": 0.07}
+    extras = {"nce_layers": [0, 4, 8, 10], "mlp_nc": 16, "num_patches": 16,
+              "use_equivariance_flip": False}
+    # NOTE: the reference Resnet2D has no width knob (fixed 64 filters).
+    g2d = {"_target_": "ganslate.nn.generators.Resnet2D",
+           "n_residual_blocks": 1,
+           "in_out_channels": {"AB": [1, 1], "BA": [1, 1]},
+           # read by the reference's channel probe (cut.py:82-83)
+           "in_channels": 1}
+    d2d = {"_target_": "ganslate.nn.discriminators.PatchGAN2D",
+           "ndf": 8, "n_layers": 1, "kernel_size": [4, 4],
+           "in_channels": {"B": 1}}
+
+    ref_cls = load_reference_gans()["CUT"]
+    ref_conf = _ref_conf(tmp_path, "x.CUT", opt, None, generator=g2d,
+                         discriminator=d2d, gan_extras=extras)
+    ref = ref_cls(ref_conf)
+
+    conf = _our_conf(tmp_path, "ganslate.nn.gans.unpaired.CUT", opt, {"B": 1},
+                     generator={"_target_": g2d["_target_"],
+                                "n_residual_blocks": 1,
+                                "in_out_channels": {"AB": [1, 1]}},
+                     discriminator={"_target_": d2d["_target_"],
+                                    "ndf": 8, "n_layers": 1,
+                                    "in_channels": {"B": 1}},
+                     gan_extras=extras)
+    ours = build_gan(conf)
+    batches = _batches(4, N_STEPS, ch=1)
+    ours.setup(example_batch=batches[0])
+
+    _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
+              loss_names=["D", "G", "NCE", "NCE_idt"])
