@@ -12,8 +12,10 @@ TPU redesign (MONAI's version is dynamic-shaped host-loop code):
   the compiled program (static shapes, one compile per volume geometry);
 - windows are gathered with `vmap(dynamic_slice)`, run through the network
   `sw_batch_size` at a time under `lax.scan` (static trip count), and
-  blended with read-modify-write `dynamic_update_slice` accumulation that XLA
-  performs in place;
+  blended with a STATIC per-axis overlap-add (the grid is a Cartesian
+  product, so the weighted blend factorizes into static slice/add/concat
+  chains; on a multi-device mesh each device computes its grid share and
+  the predictions are all-gathered first);
 - the whole thing — gather, network forwards, weighted overlap-add,
   normalization — is ONE jitted program per (input shape, network) pair.
 """
@@ -74,9 +76,10 @@ class SlidingWindowInferer:
 
     `distributed=True` (default) shards the WINDOW GRID over the mesh's
     `data` axis when more than one device is present: every device runs its
-    share of windows over the (replicated) volume and the weighted
-    overlap-add canvases are `psum`'d over ICI — near-linear scaling of
-    vols/sec with chip count, the TPU-native way to serve large 3D volumes.
+    share of windows over the (replicated) volume, the weighted predictions
+    are all-gathered over ICI and blended with the static overlap-add —
+    near-linear scaling of vols/sec with chip count, the TPU-native way to
+    serve large 3D volumes.
     """
 
     def __init__(self, roi_size: Sequence[int], sw_batch_size: int = 1,
@@ -149,18 +152,14 @@ class SlidingWindowInferer:
         # Round window batches up to a multiple of the device count so the
         # grid splits evenly across the mesh.
         n_batches = -(-n_batches // n_dev) * n_dev
-        # Pad the window list by repeating the last window. Pad duplicates
-        # are masked to ZERO weight in the scatter path (a duplicate that
-        # overlaps another window would otherwise bias the weighted average
-        # toward the duplicated prediction) and dropped before the static
-        # overlap-add path.
+        # Pad the window list by repeating the last window; the duplicates
+        # sit at the end of grid order and are dropped before blending (a
+        # duplicate that overlaps another window would otherwise bias the
+        # weighted average toward the duplicated prediction).
         pad_windows = n_batches * sw_batch - n_windows
         if pad_windows:
             starts = np.concatenate([starts, np.repeat(starts[-1:], pad_windows, 0)])
         starts_dev = jnp.asarray(starts.reshape(n_batches, sw_batch, -1))
-        valid_np = np.ones(n_batches * sw_batch, np.float32)
-        valid_np[n_windows:] = 0.0
-        valid_dev = jnp.asarray(valid_np.reshape(n_batches, sw_batch))
 
         if self.mode == "gaussian":
             importance = gaussian_importance_map(roi, self.sigma_scale)
@@ -184,60 +183,18 @@ class SlidingWindowInferer:
             return jax.lax.dynamic_slice(
                 vol, (*start,) + (0,), (*roi_t, channels))
 
-        def accumulate_volume(vol, net_params, start_batches, valid_batches):
-            """Overlap-add canvas + weights for one volume over the given
-            window batches. vol: (*padded, C). `valid_batches` zeroes the pad
-            duplicates' contributions."""
-            out0 = jnp.zeros((*padded, channels), jnp.float32)
-            w0 = jnp.zeros((*padded, 1), jnp.float32)
-
-            def apply_net(x):
-                return network(x) if net_params is None else network(net_params, x)
-
-            def body(carry, batch):
-                start_batch, valid = batch
-                out, w = carry
-                windows = jax.vmap(gather_window, in_axes=(None, 0))(vol, start_batch)
-                if squeeze_depth:
-                    preds = apply_net(windows[:, 0])[:, None]
-                else:
-                    preds = apply_net(windows)
-                preds = preds.astype(jnp.float32) * importance_dev
-
-                def scatter_one(carry, idx):
-                    out, w = carry
-                    start = start_batch[idx]
-                    imp = importance_dev * valid[idx]
-                    start_full = (*(start[d] for d in range(rank)), 0)
-                    cur = jax.lax.dynamic_slice(out, start_full, (*roi_t, channels))
-                    out = jax.lax.dynamic_update_slice(
-                        out, cur + preds[idx] * valid[idx], start_full)
-                    cur_w = jax.lax.dynamic_slice(w, start_full[:-1] + (0,), (*roi_t, 1))
-                    w = jax.lax.dynamic_update_slice(w, cur_w + imp,
-                                                     start_full[:-1] + (0,))
-                    return (out, w), None
-
-                (out, w), _ = jax.lax.scan(scatter_one, (out, w),
-                                           jnp.arange(sw_batch))
-                return (out, w), None
-
-            (out, w), _ = jax.lax.scan(body, (out0, w0),
-                                       (start_batches, valid_batches))
-            return out, w
-
         def crop(out):
             crops = tuple(slice(lo, lo + s)
                           for (lo, _), s in zip(pad_cfg[1:-1], spatial))
             return out[(slice(None), *crops, slice(None))]
 
-        # ---- single-device blend: static overlap-add, no scatter.
+        # ---- blend: static overlap-add, no scatter.
         # The window grid is a Cartesian product of per-dim start lists, so
         # the weighted overlap-add factorizes per axis into STATIC
-        # slice/add/concat chains XLA fuses at full bandwidth — the
-        # scatter path below (kept for the sharded grid) runs its
-        # dynamic_update_slice chain at ~10 GB/s on the canvas (traced,
-        # docs/benchmarks.md). The weight canvas is input-independent and
-        # baked in as a numpy constant.
+        # slice/add/concat chains XLA fuses at full bandwidth (the
+        # dynamic_update_slice scatter this replaced ran at ~10 GB/s on the
+        # canvas — traced, docs/benchmarks.md). The weight canvas is
+        # input-independent and baked in as a numpy constant.
         n_pos = [len(s) for s in starts_per_dim]
 
         def _axis_overlap_add(t, axis_starts, extent, out_len):
@@ -255,7 +212,7 @@ class SlidingWindowInferer:
             return jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
 
         def collect_preds(vol, net_params, start_batches):
-            """All window predictions, weighted, in dense grid order."""
+            """Window predictions for the given batches, in grid order."""
             def apply_net(x):
                 return network(x) if net_params is None else network(net_params, x)
 
@@ -272,8 +229,7 @@ class SlidingWindowInferer:
             else:
                 _, preds = jax.lax.scan(body, None, start_batches)
                 preds = preds.reshape(-1, *preds.shape[2:])
-            # Drop the pad duplicates; weight with the importance map.
-            return preds[:n_windows] * importance_dev
+            return preds
 
         def blend(preds):
             """(n_windows, *roi, C) -> (*padded, C) by per-axis overlap-add
@@ -301,42 +257,55 @@ class SlidingWindowInferer:
                 x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
                 preds = jax.vmap(collect_preds, in_axes=(0, None, None))(
                     x, net_params, starts_dev)
-                out = jax.vmap(blend)(preds)
+                # Drop pad duplicates; weight with the importance map.
+                out = jax.vmap(blend)(preds[:, :n_windows] * importance_dev)
                 return crop(out / w_const)
 
             return run
 
-        # Distributed: shard the window grid across the mesh's data axis;
-        # each device accumulates its windows' canvas, psum merges them.
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # Distributed: shard the window grid across the mesh's data axis —
+        # each device runs its share of the network forwards, the weighted
+        # predictions are all-gathered over ICI (windows are contiguous
+        # grid-order chunks per device, so the gather axis IS grid order)
+        # and blended with the SAME static per-axis overlap-add as the
+        # single-device path (the dynamic_update_slice scatter this replaces
+        # ran at ~10 GB/s on the canvas, docs/benchmarks.md).
+        from jax.sharding import PartitionSpec as P
         from jax.experimental.shard_map import shard_map
 
         n_dev = mesh.shape["data"]
         starts_sharded = starts_dev.reshape(n_dev, n_batches // n_dev,
                                             sw_batch, rank)
-        valid_sharded = valid_dev.reshape(n_dev, n_batches // n_dev, sw_batch)
 
-        def worker(start_batches, valid_batches, x, net_params):
+        def worker(start_batches, x, net_params):
             start_batches = start_batches[0]  # this device's share
-            valid_batches = valid_batches[0]
-            out, w = jax.vmap(accumulate_volume,
-                              in_axes=(0, None, None, None))(
-                x, net_params, start_batches, valid_batches)
-            out = jax.lax.psum(out, "data")
-            w = jax.lax.psum(w, "data")
-            return out, w
+            preds = jax.vmap(collect_preds, in_axes=(0, None, None))(
+                x, net_params, start_batches)
+            # Devices hold contiguous grid-order chunks, so the gather axis
+            # IS grid order; the pad duplicates sit at the end and are
+            # dropped by the same [:n_windows] slice as single-device.
+            preds = jax.lax.all_gather(preds, "data", axis=1, tiled=True)
+            return jax.vmap(blend)(preds[:, :n_windows] * importance_dev)
 
         sharded = shard_map(
             worker, mesh=mesh,
-            in_specs=(P("data"), P("data"), P(), P()),
-            out_specs=(P(), P()),
+            in_specs=(P("data"), P(), P()),
+            out_specs=P(),
             check_rep=False,
         )
+
+        # Same real-windows-only weight canvas as the single-device path.
+        w_np = np.zeros((*padded, 1), np.float32)
+        for s in starts[:n_windows]:
+            region = tuple(slice(int(s[d]), int(s[d]) + roi_t[d])
+                           for d in range(rank))
+            w_np[region] += importance[..., None]
+        w_const = jnp.asarray(w_np)
 
         @jax.jit
         def run(inputs, net_params):
             x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
-            out, w = sharded(starts_sharded, valid_sharded, x, net_params)
-            return crop(out / w)
+            out = sharded(starts_sharded, x, net_params)
+            return crop(out / w_const)
 
         return run
