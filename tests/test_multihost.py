@@ -22,7 +22,8 @@ import jax
 coordinator, process_id, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=coordinator, num_processes=2,
-                           process_id=process_id)
+                           process_id=process_id,
+                           initialization_timeout=600)
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 8, jax.device_count()
 assert jax.local_device_count() == 4
@@ -78,6 +79,14 @@ resumed_losses = {k: round(float(jax.device_get(v)), 6)
 assert resumed_losses == cont_losses, (resumed_losses, cont_losses)
 print(f"RESUMED {resumed_losses}", flush=True)
 print("CHILD_OK", flush=True)
+
+# Do not let the coordinator (process 0) exit while process 1 is still
+# working: a dead coordinator fails the other process's heartbeat and kills
+# it mid-run (seen as rc=124 under full-suite CPU contention). Barrier, then
+# shut the distributed client down cleanly.
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("test_done")
+jax.distributed.shutdown()
 """
 
 
@@ -109,7 +118,7 @@ def test_two_process_data_parallel_train_step(tmp_path):
              str(tmp_path / "out")],
             cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT))
 
-    rcs = [p.wait(timeout=420) for p in procs]
+    rcs = [p.wait(timeout=900) for p in procs]
     texts = [p.read_text() for p in logs]
     for rc, text in zip(rcs, texts):
         assert rc == 0, f"child failed (rc={rc}):\n{text[-3000:]}"
