@@ -148,9 +148,12 @@ def bench_vnet3d_sliding_window():
     pc = {"params": params, "s2d_kernels": cache}
 
     def network(p, x):
+        # Raw bf16 predictions: the inferer keeps the network dtype through
+        # the window gather and casts to fp32 only at the blend's weighted
+        # reads, halving the pre-blend HBM traffic.
         return model.apply(
             {"params": p["params"], "s2d_kernels": p["s2d_kernels"]},
-            x.astype(jnp.bfloat16)).astype(jnp.float32)
+            x.astype(jnp.bfloat16))
 
     inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=28,
                                    overlap=0.25, mode="gaussian")

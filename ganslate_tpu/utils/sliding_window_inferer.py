@@ -165,6 +165,26 @@ class SlidingWindowInferer:
             importance = gaussian_importance_map(roi, self.sigma_scale)
         else:
             importance = np.ones(roi, dtype=np.float32)
+
+        # The gaussian map is a product of per-dim gaussians (its floor-clip
+        # only bites when exp underflows, which these ROI sizes never reach),
+        # so the blend weighting factorizes per axis and can ride the
+        # overlap-add passes below instead of costing a full-grid multiply.
+        imp_1d = None
+        if self.mode == "gaussian":
+            factors = []
+            for s in roi:
+                center = (s - 1) / 2.0
+                sigma = max(s * self.sigma_scale, 1e-8)
+                factors.append(np.exp(-0.5 * ((
+                    (np.arange(s, dtype=np.float64) - center) / sigma) ** 2)))
+            outer = factors[0]
+            for g in factors[1:]:
+                outer = np.multiply.outer(outer, g)
+            if np.array_equal(outer.astype(np.float32), importance):
+                imp_1d = [jnp.asarray(g.astype(np.float32)) for g in factors]
+        else:
+            imp_1d = [None] * len(roi)  # constant mode: unit weights
         importance_dev = jnp.asarray(importance)[..., None]  # (*roi, 1)
 
         roi_t = tuple(roi)
@@ -188,28 +208,47 @@ class SlidingWindowInferer:
                           for (lo, _), s in zip(pad_cfg[1:-1], spatial))
             return out[(slice(None), *crops, slice(None))]
 
-        # ---- blend: static overlap-add, no scatter.
+        # ---- blend: static overlap-add, no scatter, no transpose.
         # The window grid is a Cartesian product of per-dim start lists, so
         # the weighted overlap-add factorizes per axis into STATIC
         # slice/add/concat chains XLA fuses at full bandwidth (the
         # dynamic_update_slice scatter this replaced ran at ~10 GB/s on the
-        # canvas — traced, docs/benchmarks.md). The weight canvas is
+        # canvas — traced, docs/benchmarks.md). Each pass consumes its grid
+        # axis in place with index_in_dim/slice_in_dim — the moveaxis form
+        # this replaces materialized full-grid transposes — and multiplies
+        # in that axis' 1-D gaussian factor, so the blend weighting never
+        # costs a full-grid elementwise pass. The weight canvas is
         # input-independent and baked in as a numpy constant.
         n_pos = [len(s) for s in starts_per_dim]
 
-        def _axis_overlap_add(t, axis_starts, extent, out_len):
-            """(n_pos, extent, ...) -> (out_len, ...): sum the shifted window
-            slabs along one spatial dim. Every breakpoint is static."""
+        def _axis_overlap_add(t, pos_axis, spatial_axis, axis_starts, extent,
+                              out_len, w1d):
+            """Consume grid axis `pos_axis`: sum every window slab (shifted
+            by its start, weighted by its 1-D importance slice) into spatial
+            axis `spatial_axis`. Every breakpoint is static and every read is
+            a layout-preserving slice."""
             bounds = sorted({0, out_len, *axis_starts,
                              *[s + extent for s in axis_starts]})
             bounds = [b for b in bounds if 0 <= b <= out_len]
             segs = []
             for lo, hi in zip(bounds[:-1], bounds[1:]):
-                parts = [t[i, lo - s:hi - s]
-                         for i, s in enumerate(axis_starts)
-                         if s <= lo and hi <= s + extent]
+                parts = []
+                for i, s in enumerate(axis_starts):
+                    if s <= lo and hi <= s + extent:
+                        sub = jax.lax.index_in_dim(t, i, axis=pos_axis,
+                                                   keepdims=False)
+                        sub = jax.lax.slice_in_dim(sub, lo - s, hi - s,
+                                                   axis=spatial_axis - 1)
+                        sub = sub.astype(jnp.float32)
+                        if w1d is not None:
+                            shape = [1] * sub.ndim
+                            shape[spatial_axis - 1] = hi - lo
+                            sub = sub * jax.lax.slice_in_dim(
+                                w1d, lo - s, hi - s).reshape(shape)
+                        parts.append(sub)
                 segs.append(sum(parts[1:], parts[0]))
-            return jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+            return (jnp.concatenate(segs, axis=spatial_axis - 1)
+                    if len(segs) > 1 else segs[0])
 
         def collect_preds(vol, net_params, start_batches):
             """Window predictions for the given batches, in grid order."""
@@ -222,7 +261,10 @@ class SlidingWindowInferer:
                     preds = apply_net(windows[:, 0])[:, None]
                 else:
                     preds = apply_net(windows)
-                return None, preds.astype(jnp.float32)
+                # Keep the network's own dtype (bf16 nets move half the
+                # bytes through the gather/all-gather); the blend casts to
+                # fp32 at its first weighted read.
+                return None, preds
 
             if start_batches.shape[0] == 1:
                 preds = body(None, start_batches[0])[1]
@@ -232,14 +274,15 @@ class SlidingWindowInferer:
             return preds
 
         def blend(preds):
-            """(n_windows, *roi, C) -> (*padded, C) by per-axis overlap-add
-            over the grid's product structure."""
+            """(n_windows, *roi, C) -> (*padded, C) by per-axis weighted
+            overlap-add over the grid's product structure. When the gaussian
+            map doesn't factorize (imp_1d is None) the caller pre-multiplies
+            the full map and the passes run unweighted."""
             t = preds.reshape(*n_pos, *roi_t, channels)
             for d in reversed(range(rank)):
-                t = jnp.moveaxis(t, d, 0)
-                t = jnp.moveaxis(t, 2 * d + 1, 1)
-                t = _axis_overlap_add(t, starts_per_dim[d], roi_t[d], padded[d])
-                t = jnp.moveaxis(t, 0, 2 * d)
+                w1d = None if imp_1d is None else imp_1d[d]
+                t = _axis_overlap_add(t, d, 2 * d + 1, starts_per_dim[d],
+                                      roi_t[d], padded[d], w1d)
             return t
 
         if mesh is None:
@@ -257,8 +300,10 @@ class SlidingWindowInferer:
                 x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
                 preds = jax.vmap(collect_preds, in_axes=(0, None, None))(
                     x, net_params, starts_dev)
-                # Drop pad duplicates; weight with the importance map.
-                out = jax.vmap(blend)(preds[:, :n_windows] * importance_dev)
+                preds = preds[:, :n_windows]  # drop pad duplicates
+                if imp_1d is None:  # non-factorizable map: weight up front
+                    preds = preds.astype(jnp.float32) * importance_dev
+                out = jax.vmap(blend)(preds)
                 return crop(out / w_const)
 
             return run
@@ -282,10 +327,14 @@ class SlidingWindowInferer:
             preds = jax.vmap(collect_preds, in_axes=(0, None, None))(
                 x, net_params, start_batches)
             # Devices hold contiguous grid-order chunks, so the gather axis
-            # IS grid order; the pad duplicates sit at the end and are
-            # dropped by the same [:n_windows] slice as single-device.
+            # IS grid order (and bf16 nets gather half the bytes); the pad
+            # duplicates sit at the end and are dropped by the same
+            # [:n_windows] slice as single-device.
             preds = jax.lax.all_gather(preds, "data", axis=1, tiled=True)
-            return jax.vmap(blend)(preds[:, :n_windows] * importance_dev)
+            preds = preds[:, :n_windows]
+            if imp_1d is None:
+                preds = preds.astype(jnp.float32) * importance_dev
+            return jax.vmap(blend)(preds)
 
         sharded = shard_map(
             worker, mesh=mesh,
