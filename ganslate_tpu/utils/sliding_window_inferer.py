@@ -63,9 +63,14 @@ def gaussian_importance_map(roi_size, sigma_scale: float = 0.125,
         center = (s - 1) / 2.0
         sigma = max(s * sigma_scale, 1e-8)
         value += ((g - center) / sigma) ** 2
-    imp = np.exp(-0.5 * value)
-    imp = np.clip(imp, imp[imp > 0].min(), None)
-    return imp.astype(dtype)
+    # Floor-clip in the OUTPUT dtype: clipping in float64 and casting after
+    # can turn the float64 floor into float32 zeros (tiny sigmas), which
+    # would put exact zeros in the weight canvas and NaN the blend.
+    imp = np.exp(-0.5 * value).astype(dtype)
+    pos = imp[imp > 0]
+    if pos.size == 0:
+        return np.ones_like(imp)
+    return np.clip(imp, pos.min(), None)
 
 
 class SlidingWindowInferer:
@@ -85,7 +90,7 @@ class SlidingWindowInferer:
     def __init__(self, roi_size: Sequence[int], sw_batch_size: int = 1,
                  overlap: float = 0.25, mode: str = "gaussian",
                  cval: float = 0.0, sigma_scale: float = 0.125,
-                 distributed: bool = True):
+                 distributed: bool = True, _force_full_map: bool = False):
         self.roi_size = tuple(int(r) for r in roi_size)
         self.sw_batch_size = int(sw_batch_size)
         self.overlap = float(overlap)
@@ -94,6 +99,10 @@ class SlidingWindowInferer:
         self.cval = float(cval)
         self.sigma_scale = sigma_scale
         self.distributed = distributed
+        # Test seam: force the non-factorized (full-map multiply) blend even
+        # when the gaussian map is separable, so the fallback path can be
+        # exercised at well-conditioned weights.
+        self._force_full_map = _force_full_map
         self._cache: Dict = {}
 
     def __call__(self, inputs: jax.Array, network: Callable, params=None):
@@ -181,7 +190,8 @@ class SlidingWindowInferer:
             outer = factors[0]
             for g in factors[1:]:
                 outer = np.multiply.outer(outer, g)
-            if np.array_equal(outer.astype(np.float32), importance):
+            if (np.array_equal(outer.astype(np.float32), importance)
+                    and not self._force_full_map):
                 imp_1d = [jnp.asarray(g.astype(np.float32)) for g in factors]
         else:
             imp_1d = [None] * len(roi)  # constant mode: unit weights

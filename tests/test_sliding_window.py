@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ganslate_tpu.utils.sliding_window_inferer import (SlidingWindowInferer,
+from ganslate_tpu.utils.sliding_window_inferer import (SlidingWindowInferer, _scan_interval,
                                                        dense_patch_slices,
                                                        gaussian_importance_map)
 
@@ -114,3 +114,64 @@ def test_single_device_2d_over_3d():
                     .astype(np.float32))
     out = inferer(x, lambda params, v: 2.0 * v, params={})
     np.testing.assert_allclose(np.asarray(out), 2 * np.asarray(x), atol=1e-4)
+
+
+def _dense_reference(x, net, roi, overlap, mode, sigma_scale=0.125, cval=0.0):
+    """Direct per-window weighted accumulation (the MONAI definition):
+    pad, run every window, multiply the FULL importance map, accumulate
+    canvas and weight canvas, divide, crop. No factorization — this is the
+    ground truth the per-axis overlap-add must reproduce."""
+    spatial = x.shape[1:-1]
+    padded = tuple(max(s, r) for s, r in zip(spatial, roi))
+    pad_cfg = [(0, 0)]
+    for s, p in zip(spatial, padded):
+        lo = (p - s) // 2
+        pad_cfg.append((lo, p - s - lo))
+    pad_cfg.append((0, 0))
+    xp = np.pad(np.asarray(x), pad_cfg, constant_values=cval)
+    starts = dense_patch_slices(padded, roi, _scan_interval(padded, roi, overlap))
+    if mode == "gaussian":
+        imp = gaussian_importance_map(roi, sigma_scale)
+    else:
+        imp = np.ones(roi, np.float32)
+    canvas = np.zeros((*([x.shape[0]]), *padded, x.shape[-1]), np.float64)
+    weights = np.zeros((*padded, 1), np.float64)
+    for s in starts:
+        region = tuple(slice(int(si), int(si) + r) for si, r in zip(s, roi))
+        win = xp[(slice(None), *region, slice(None))]
+        pred = np.asarray(net(None, jnp.asarray(win)))
+        canvas[(slice(None), *region, slice(None))] += pred * imp[..., None]
+        weights[(*region, slice(None))] += imp[..., None]
+    out = canvas / weights
+    crops = tuple(slice(lo, lo + s) for (lo, _), s in zip(pad_cfg[1:-1], spatial))
+    return out[(slice(None), *crops, slice(None))]
+
+
+@pytest.mark.parametrize("mode,force_full", [
+    ("gaussian", False),   # separable fast path (per-axis weight folding)
+    ("gaussian", True),    # full-map multiply fallback, same weights
+    ("constant", False),
+])
+def test_blend_matches_dense_reference(mode, force_full):
+    """The factorized overlap-add must equal the direct per-window weighted
+    accumulation on a NON-identity network (identity tests cannot see
+    weighting bugs: identical overlap predictions normalize any weights
+    out)."""
+    k = jnp.asarray(np.random.default_rng(7).normal(
+        size=(3, 3, 2, 2)).astype(np.float32)) * 0.4
+
+    def net(params, v):
+        return jax.lax.conv_general_dilated(
+            v, k, (1, 1), "SAME",
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                v.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
+
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(2, 19, 14, 2))
+                    .astype(np.float32))
+    roi = (8, 8)
+    expected = _dense_reference(x, net, roi, 0.25, mode)
+    inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=3, overlap=0.25,
+                                   mode=mode, distributed=False,
+                                   _force_full_map=force_full)
+    out = inferer(x, net, params={})
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5, rtol=2e-5)
