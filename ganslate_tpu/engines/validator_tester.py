@@ -82,9 +82,13 @@ class BaseValTestEngine(BaseEngineWithInference):
             set_metrics = None
             if self.fid is not None:
                 # Collective (uniform across processes): merge every
-                # process's features so FID covers the whole set.
+                # process's features so FID covers the whole set. The
+                # O(d^3) Frechet solve then runs on the main process only —
+                # the tracker consuming set_metrics is rank-0-only.
+                from ganslate_tpu.utils import communication
                 self.fid.sync_across_processes()
-                if self.fid.num_samples("real"):
+                if (communication.is_main_process()
+                        and self.fid.num_samples("real")):
                     set_metrics = {"fid": self.fid.compute()}
                 self.fid.reset()
             self.tracker.log_samples(current_idx, dataset_name=dataset_name,

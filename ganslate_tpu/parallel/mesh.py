@@ -66,16 +66,34 @@ def batch_sharding(mesh: Optional[Mesh] = None, axis: str = "data") -> NamedShar
     return NamedSharding(mesh, P(axis))
 
 
+def _spatial_axis_is_process_local(mesh: Mesh) -> bool:
+    """True when every group of devices along the `spatial` axis lives on one
+    process. shard_batch feeds make_array_from_process_local_data the FULL
+    local volume (loaders shard only the batch dim across processes), which
+    is correct only if the spatial axis never crosses a process boundary —
+    otherwise the API would misread the local spatial extent as a
+    per-process shard and assemble a wrong (doubled) global volume."""
+    names = list(mesh.axis_names)
+    dev = np.moveaxis(mesh.devices, names.index("spatial"), -1)
+    return all(len({d.process_index for d in row}) == 1
+               for row in dev.reshape(-1, dev.shape[-1]))
+
+
 def _leaf_batch_spec(mesh: Mesh, shape) -> P:
     """PartitionSpec for one batch leaf: dim 0 over `data`; when the mesh
     has a `spatial` axis and the first spatial dim divides it, that dim is
     sharded too — XLA/GSPMD then partitions every conv with automatic halo
     exchange and globalizes normalization reductions (spatially-sharded
-    training, configs/training.py `spatial_mesh`)."""
+    training, configs/training.py `spatial_mesh`). In multi-controller jobs
+    the spatial dim is only sharded when the spatial axis is process-local
+    (see _spatial_axis_is_process_local); otherwise the leaf falls back to
+    data-only sharding rather than assembling a corrupt global volume."""
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_spatial = sizes.get("spatial", 1)
     if (n_spatial > 1 and len(shape) >= 3
-            and shape[1] % n_spatial == 0 and shape[1] >= 2 * n_spatial):
+            and shape[1] % n_spatial == 0 and shape[1] >= 2 * n_spatial
+            and (jax.process_count() == 1
+                 or _spatial_axis_is_process_local(mesh))):
         return P("data", "spatial")
     return P("data")
 

@@ -41,13 +41,23 @@ def _scan_interval(image_size, roi_size, overlap: float) -> Tuple[int, ...]:
     return tuple(interval)
 
 
-def dense_patch_slices(image_size, roi_size, scan_interval) -> np.ndarray:
-    """All window start coordinates covering the padded image (host-side)."""
+def grid_starts_per_dim(image_size, roi_size, scan_interval):
+    """Per-dim sorted window start lists whose Cartesian product (row-major,
+    `np.meshgrid(indexing="ij")`) IS the window grid. Single source of truth:
+    dense_patch_slices flattens this, and the blend's overlap-add indexes it,
+    so the two can never disagree on grid order."""
     starts_per_dim = []
     for image_d, roi_d, step in zip(image_size, roi_size, scan_interval):
         scan_num = int(math.ceil(max(image_d - roi_d, 0) / step)) + 1
         starts = [min(i * step, image_d - roi_d) for i in range(scan_num)]
         starts_per_dim.append(sorted(set(starts)))
+    return starts_per_dim
+
+
+def dense_patch_slices(image_size, roi_size, scan_interval) -> np.ndarray:
+    """All window start coordinates covering the padded image (host-side),
+    in the row-major grid order of grid_starts_per_dim."""
+    starts_per_dim = grid_starts_per_dim(image_size, roi_size, scan_interval)
     grids = np.meshgrid(*starts_per_dim, indexing="ij")
     return np.stack([g.reshape(-1) for g in grids], axis=-1).astype(np.int32)
 
@@ -200,14 +210,10 @@ class SlidingWindowInferer:
         roi_t = tuple(roi)
         rank = len(roi_t)
 
-        # Per-dim window start lists whose Cartesian product IS the grid
-        # (dense_patch_slices builds it as a meshgrid) — the structure the
-        # static overlap-add below exploits.
-        starts_per_dim = []
-        for image_d, roi_d, step in zip(padded, roi, interval):
-            scan_num = int(math.ceil(max(image_d - roi_d, 0) / step)) + 1
-            starts_per_dim.append(
-                sorted({min(i * step, image_d - roi_d) for i in range(scan_num)}))
+        # Per-dim window start lists whose Cartesian product IS the grid —
+        # the same derivation dense_patch_slices flattened into `starts`, so
+        # the overlap-add below consumes predictions in exactly grid order.
+        starts_per_dim = grid_starts_per_dim(padded, roi, interval)
 
         def gather_window(vol, start):
             return jax.lax.dynamic_slice(
@@ -230,6 +236,7 @@ class SlidingWindowInferer:
         # costs a full-grid elementwise pass. The weight canvas is
         # input-independent and baked in as a numpy constant.
         n_pos = [len(s) for s in starts_per_dim]
+        assert int(np.prod(n_pos)) == n_windows  # grid == product structure
 
         def _axis_overlap_add(t, pos_axis, spatial_axis, axis_starts, extent,
                               out_len, w1d):
@@ -296,7 +303,6 @@ class SlidingWindowInferer:
             return t
 
         if mesh is None:
-            assert int(np.prod(n_pos)) == n_windows
             w_np = np.zeros((*padded, 1), np.float32)
             for idx in np.ndindex(*n_pos):
                 region = tuple(slice(starts_per_dim[d][idx[d]],

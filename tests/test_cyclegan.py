@@ -147,6 +147,7 @@ def test_fused_d_forward_is_exact(tmp_path):
 
     # (b) One train step's losses agree between the two dispatch modes.
     def losses_after_step(fuse_flag):
+        saved_flag = gan_base.FUSED_D_FORWARD
         gan_base.FUSED_D_FORWARD = fuse_flag
         try:
             conf2 = tiny_cyclegan_conf(tmp_path / f"fused_{fuse_flag}")
@@ -156,7 +157,7 @@ def test_fused_d_forward_is_exact(tmp_path):
             m.optimize_parameters()
             return {k: float(jax.device_get(v)) for k, v in m.losses.items()}
         finally:
-            gan_base.FUSED_D_FORWARD = True
+            gan_base.FUSED_D_FORWARD = saved_flag
 
     losses_f = losses_after_step(True)
     losses_u = losses_after_step(False)

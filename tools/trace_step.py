@@ -54,17 +54,26 @@ def capture_sw(trace_dir):
         lambda a: a.astype(jnp.bfloat16)
         if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
 
+    # Mirror bench.py exactly: serving-time s2d kernel cache + raw bf16
+    # predictions (the blend casts to fp32 at its weighted reads).
+    from ganslate_tpu.nn.layers import precompute_s2d_kernels
+    cache = precompute_s2d_kernels(model, params,
+                                   jnp.zeros((1, *roi, 1), jnp.bfloat16))
+    pc = {"params": params, "s2d_kernels": cache}
+
     def network(p, x):
-        return model.apply({"params": p}, x.astype(jnp.bfloat16)).astype(jnp.float32)
+        return model.apply(
+            {"params": p["params"], "s2d_kernels": p["s2d_kernels"]},
+            x.astype(jnp.bfloat16))
 
     inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=28,
                                    overlap=0.25, mode="gaussian")
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.uniform(-1, 1, (2, 155, 240, 240, 1)).astype(np.float32))
-    out = inferer(vol, network, params)
+    out = inferer(vol, network, pc)
     float(jax.device_get(out.ravel()[0]))
     jax.profiler.start_trace(trace_dir)
-    out = inferer(vol, network, params)
+    out = inferer(vol, network, pc)
     float(jax.device_get(out.ravel()[0]))
     jax.profiler.stop_trace()
 
