@@ -32,7 +32,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -119,7 +119,7 @@ def spatially_sharded_infer(network_fn: Callable, params, x: jax.Array,
     # already carry a mesh sharding trips shard_map's sharding checks.
     sharded = shard_map(worker, mesh=mesh,
                         in_specs=(P(), P(*spec)), out_specs=P(*spec),
-                        check_rep=False)
+                        check_vma=False)
     x = jax.device_put(x, NamedSharding(mesh, P(*spec)))
     return sharded(params, x)
 

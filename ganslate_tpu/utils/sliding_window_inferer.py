@@ -332,7 +332,7 @@ class SlidingWindowInferer:
         # single-device path (the dynamic_update_slice scatter this replaces
         # ran at ~10 GB/s on the canvas, docs/benchmarks.md).
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         n_dev = mesh.shape["data"]
         starts_sharded = starts_dev.reshape(n_dev, n_batches // n_dev,
@@ -356,7 +356,7 @@ class SlidingWindowInferer:
             worker, mesh=mesh,
             in_specs=(P("data"), P(), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
 
         # Same real-windows-only weight canvas as the single-device path.

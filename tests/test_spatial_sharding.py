@@ -4,7 +4,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ganslate_tpu.parallel import get_mesh
@@ -21,7 +21,7 @@ def test_halo_exchange_matches_gather():
         return halo_exchange(x_local, 2, "data", 0)
 
     out = shard_map(worker, mesh=mesh, in_specs=P("data", None),
-                    out_specs=P("data", None), check_rep=False)(x)
+                    out_specs=P("data", None), check_vma=False)(x)
     # Each local shard is 4 rows -> with halo 2 each side -> 8 rows; the
     # sharded output dim is n*8. Check shard 1: rows 2..4 of global before,
     # its own 4..8, then 8..10.
@@ -52,7 +52,7 @@ def test_sharded_conv_exact():
         return sharded_conv(x_local, kernel, "data", dim=1)
 
     got = shard_map(worker, mesh=mesh, in_specs=P(None, "data", None, None),
-                    out_specs=P(None, "data", None, None), check_rep=False)(x)
+                    out_specs=P(None, "data", None, None), check_vma=False)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
