@@ -290,6 +290,34 @@ class SlidingWindowInferer:
                 preds = preds.reshape(-1, *preds.shape[2:])
             return preds
 
+        def collect_preds_static(vol, net_params):
+            """Grid-order predictions for ALL real windows via fully STATIC
+            slices — the starts are host constants, whereas vmapping
+            dynamic_slice over a traced start array becomes a gather XLA
+            cannot simplify back to slices. Used single-device when the
+            group count is small enough to unroll (the distributed path
+            must keep traced starts: shard_map traces one SPMD program).
+            The tail group stays ragged instead of duplicate-padded — the
+            duplicates' forwards were wasted compute."""
+            def apply_net(x):
+                return network(x) if net_params is None else network(net_params, x)
+
+            preds = []
+            for b0 in range(0, n_windows, sw_batch):
+                group = [tuple(int(v) for v in s)
+                         for s in starts[b0:b0 + sw_batch]]
+                windows = jnp.stack([
+                    jax.lax.slice(
+                        vol, (*s, 0),
+                        tuple(si + r for si, r in zip(s, roi_t)) + (channels,))
+                    for s in group])
+                if squeeze_depth:
+                    preds.append(apply_net(windows[:, 0])[:, None])
+                else:
+                    preds.append(apply_net(windows))
+            return (jnp.concatenate(preds, axis=0) if len(preds) > 1
+                    else preds[0])
+
         def blend(preds):
             """(n_windows, *roi, C) -> (*padded, C) by per-axis weighted
             overlap-add over the grid's product structure. When the gaussian
@@ -311,12 +339,22 @@ class SlidingWindowInferer:
                 w_np[region] += importance[..., None]
             w_const = jnp.asarray(w_np)
 
+            # Static gather when unrolling stays cheap (<= 4 network call
+            # groups); many-group grids (e.g. slice-wise 2D-over-3D with a
+            # small sw batch) keep the lax.scan form so the network is
+            # traced once.
+            use_static_gather = -(-n_windows // sw_batch) <= 4
+
             @jax.jit
             def run(inputs, net_params):
                 x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
-                preds = jax.vmap(collect_preds, in_axes=(0, None, None))(
-                    x, net_params, starts_dev)
-                preds = preds[:, :n_windows]  # drop pad duplicates
+                if use_static_gather:
+                    preds = jax.vmap(collect_preds_static, in_axes=(0, None))(
+                        x, net_params)
+                else:
+                    preds = jax.vmap(collect_preds, in_axes=(0, None, None))(
+                        x, net_params, starts_dev)
+                    preds = preds[:, :n_windows]  # drop pad duplicates
                 if imp_1d is None:  # non-factorizable map: weight up front
                     preds = preds.astype(jnp.float32) * importance_dev
                 out = jax.vmap(blend)(preds)
