@@ -304,8 +304,10 @@ class SlidingWindowInferer:
 
             preds = []
             for b0 in range(0, n_windows, sw_batch):
+                # Slice REAL windows only — `starts` carries duplicate-padded
+                # tail rows for the scan/mesh paths.
                 group = [tuple(int(v) for v in s)
-                         for s in starts[b0:b0 + sw_batch]]
+                         for s in starts[b0:min(b0 + sw_batch, n_windows)]]
                 windows = jnp.stack([
                     jax.lax.slice(
                         vol, (*s, 0),

@@ -175,3 +175,16 @@ def test_blend_matches_dense_reference(mode, force_full):
                                    _force_full_map=force_full)
     out = inferer(x, net, params={})
     np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("sw_batch", [5,   # static gather, ragged tail group
+                                      1])  # >4 groups -> lax.scan path
+def test_identity_gather_paths(sw_batch):
+    """Both gather paths (static unrolled slices vs traced-scan) must
+    reconstruct identically."""
+    inferer = SlidingWindowInferer(roi_size=(8, 8), sw_batch_size=sw_batch,
+                                   overlap=0.25, distributed=False)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(2, 20, 23, 3))
+                    .astype(np.float32))
+    out = inferer(x, lambda params, v: v, params={})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
