@@ -49,7 +49,7 @@ def bench_cyclegan_train():
 
     batch_size = 16  # best measured throughput on v5e (batch sweep 8/16/32)
     image_size = 256
-    warmup, iters = 3, 20
+    warmup, iters, segments = 3, 10, 5
 
     conf = make_cyclegan_conf(batch_size=batch_size, image_size=image_size,
                               mixed_precision=True, n_iters=10_000)
@@ -73,15 +73,22 @@ def bench_cyclegan_train():
         model.optimize_parameters()
     _sync(model)
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        model.optimize_parameters()
-    _sync(model)
-    elapsed = time.perf_counter() - start
+    # Median-of-segments: the relay transport adds per-dispatch jitter, so a
+    # single timed run can swing several percent run-to-run (the r2 driver
+    # captured 68.2 where the builder measured 68.6). The median over
+    # `segments` independently-fenced segments is what the docs may claim.
+    seg_times = []
+    for _ in range(segments):
+        start = time.perf_counter()
+        for _ in range(iters):
+            model.optimize_parameters()
+        _sync(model)
+        seg_times.append((time.perf_counter() - start) / iters)
+    step_seconds = float(np.median(seg_times))
+    spread_pct = 100.0 * (max(seg_times) - min(seg_times)) / step_seconds
 
     n_chips = jax.device_count()
-    images_per_sec = batch_size * iters / elapsed / n_chips
-    step_seconds = elapsed / iters
+    images_per_sec = batch_size / step_seconds / n_chips
 
     # MFU: XLA's own FLOP count for the full fused step vs chip peak.
     mfu = None
@@ -98,6 +105,7 @@ def bench_cyclegan_train():
     return {
         "images_per_sec_per_chip": round(images_per_sec, 2),
         "step_seconds": round(step_seconds, 4),
+        "step_seconds_spread_pct": round(spread_pct, 1),
         "batch_size": batch_size,
         "train_step_tflops": round(step_tflops, 2) if step_tflops else None,
         "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
@@ -119,7 +127,7 @@ def bench_vnet3d_sliding_window():
 
     roi = (32, 176, 176)
     volume_shape = (2, 155, 240, 240, 1)
-    repeats = 3
+    repeats = 7  # median-of-N per-call timing (see train bench note)
 
     # s2d execution space (ops/s2d_space.py): exact, same checkpoints,
     # measured 1.57x on the 7-window forward (538 -> 343 ms) because the
@@ -160,18 +168,24 @@ def bench_vnet3d_sliding_window():
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.uniform(-1, 1, volume_shape).astype(np.float32))
 
-    out = inferer(vol, network, pc)   # compile + warmup
+    out = inferer(vol, network, pc)   # compile
+    float(jax_device_get(out.ravel()[0]))
+    out = inferer(vol, network, pc)   # warmup (caches hot)
     float(jax_device_get(out.ravel()[0]))
 
-    start = time.perf_counter()
+    call_times = []
     for _ in range(repeats):
+        start = time.perf_counter()
         out = inferer(vol, network, pc)
-    float(jax_device_get(out.ravel()[0]))
-    elapsed = time.perf_counter() - start
+        float(jax_device_get(out.ravel()[0]))
+        call_times.append(time.perf_counter() - start)
+    call_s = float(np.median(call_times))
+    sw_spread_pct = 100.0 * (max(call_times) - min(call_times)) / call_s
 
-    vols_per_sec = volume_shape[0] * repeats / elapsed
+    vols_per_sec = volume_shape[0] / call_s
     result = {
         "vnet3d_sliding_window_vols_per_sec": round(vols_per_sec, 3),
+        "sw_call_spread_pct": round(sw_spread_pct, 1),
         "volume_shape": list(volume_shape[1:-1]),
         "volume_batch": volume_shape[0],
         "window": list(roi),
@@ -200,7 +214,7 @@ def bench_vnet3d_sliding_window():
     return result
 
 
-def _probe_backend(timeout_s: int = 600) -> str:
+def _probe_backend(timeout_s: int = 120) -> str:
     """Fail fast (with a diagnostic) instead of hanging when the TPU relay
     endpoint is down: jax.devices() on the relay transport blocks
     INDEFINITELY if the tunnel is broken, which would hang the whole bench.
@@ -226,14 +240,20 @@ def main():
     _probe_backend()
     train = bench_cyclegan_train()
     infer3d = bench_vnet3d_sliding_window()
+    ips = train["images_per_sec_per_chip"]
     print(json.dumps({
         "metric": "cyclegan256_train_images_per_sec_per_chip",
-        "value": train["images_per_sec_per_chip"],
+        "value": ips,
         "unit": "images/sec/chip",
-        "vs_baseline": round(train["images_per_sec_per_chip"] / 30.0, 3),
+        "vs_baseline": round(ips / 30.0, 3),
         "extra": {
             **{k: v for k, v in train.items() if k != "images_per_sec_per_chip"},
             **infer3d,
+            # The 30 img/s denominator is 2x a 15 img/s estimate of the
+            # reference's eager per-op A100 pipeline (no published numbers
+            # exist). Sensitivity of the headline ratio to that estimate:
+            "vs_baseline_at_a100_10_15_20_imgs": [
+                round(ips / (2 * a), 3) for a in (10, 15, 20)],
         },
     }))
 

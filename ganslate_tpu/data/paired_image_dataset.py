@@ -1,18 +1,18 @@
-"""Paired 2D image dataset (reference parity:
-/root/reference/ganslate/data/paired_image_dataset.py — same index for A and
-B, joint random transform). Emits channels-last float32 arrays in [-1, 1]."""
+"""Paired (aligned) 2D image dataset.
+
+Pairing policy (reference parity:
+/root/reference/ganslate/data/paired_image_dataset.py): A[i] corresponds to
+B[i], and the random preprocessing draws ONE set of parameters applied
+identically to both — crops and flips must not break alignment. Samples are
+channels-last float32 arrays in [-1, 1].
+"""
 
 from dataclasses import dataclass, field
-from pathlib import Path
 from typing import Tuple
 
-from PIL import Image
-
 from ganslate_tpu import configs
+from ganslate_tpu.data.image_folder import domain_folders
 from ganslate_tpu.data.utils.transforms import get_paired_image_transform
-from ganslate_tpu.utils.io import make_dataset_of_files
-
-EXTENSIONS = ['.jpg', '.jpeg', '.png']
 
 
 @dataclass
@@ -28,25 +28,15 @@ class PairedImageDatasetConfig(configs.base.BaseDatasetConfig):
 class PairedImageDataset:
 
     def __init__(self, conf):
-        dataset_conf = conf[conf.mode].dataset
-        self.dir_A = Path(dataset_conf.root) / 'A'
-        self.dir_B = Path(dataset_conf.root) / 'B'
-
-        self.A_paths = make_dataset_of_files(self.dir_A, EXTENSIONS)
-        self.B_paths = make_dataset_of_files(self.dir_B, EXTENSIONS)
-        self.n_samples = len(self.A_paths)
-
+        self.domain_A, self.domain_B = domain_folders(conf, 'A', 'B')
+        # Joint transform: one random-parameter draw, applied to the pair.
         self.transform = get_paired_image_transform(conf)
-        self.rgb_or_grayscale = 'RGB' if dataset_conf.image_channels == 3 else 'L'
-
-    def __getitem__(self, index):
-        index = index % self.n_samples
-
-        A_img = Image.open(self.A_paths[index]).convert(self.rgb_or_grayscale)
-        B_img = Image.open(self.B_paths[index]).convert(self.rgb_or_grayscale)
-
-        A, B = self.transform(A_img, B_img)
-        return {'A': A, 'B': B}
 
     def __len__(self):
-        return self.n_samples
+        return len(self.domain_A)
+
+    def __getitem__(self, index):
+        index = index % len(self.domain_A)
+        a, b = self.domain_A.load(index), self.domain_B.load(index)
+        a_t, b_t = self.transform(a, b)
+        return {'A': a_t, 'B': b_t}

@@ -1,14 +1,32 @@
-"""Inferer: inference loop engine + bare deployment mode.
+"""Inference engine.
 
-Reference parity: /root/reference/ganslate/engines/inferer.py —
-`is_deployment` skips loader/tracker/logging (caller uses `Inferer.infer()`
-directly), input key 'input' or 'A', DDP-aware iteration index.
+Drives a trained generator over an inference dataset: each batch is
+translated (optionally through the sliding-window inferer), handed to the
+dataset's ``save()`` hook when one exists, and logged as input/output grids
+with load / infer / save timings. With ``infer.is_deployment: true`` the
+engine strips down to a bare ``infer()`` callable — no loader, tracker, or
+logging — for embedding in serving code.
+
+Behavior parity with the reference engine
+(/root/reference/ganslate/engines/inferer.py): same deployment switch, same
+accepted input keys, same progress accounting across processes.
 """
+
+import numpy as np
 
 from ganslate_tpu.engines.base import BaseEngineWithInference
 from ganslate_tpu.utils import communication, environment
 from ganslate_tpu.utils.builders import build_gan, build_loader
 from ganslate_tpu.utils.trackers.inference import InferenceTracker
+
+#: A batch dict must carry the tensor to translate under one of these keys.
+INPUT_KEYS = ("input", "A")
+
+_NO_SAVE_HOOK_NOTE = (
+    "The dataset class used does not have a 'save' method. It is not "
+    "necessary, however, it may be useful when outputs should be stored "
+    "individually or in a specific format ('images/' saves input+output "
+    "side by side).")
 
 
 class Inferer(BaseEngineWithInference):
@@ -16,8 +34,10 @@ class Inferer(BaseEngineWithInference):
     def __init__(self, conf):
         super().__init__(conf)
 
-        if not self.conf.infer.is_deployment:
-            assert self.conf.infer.dataset, "Please specify the dataset for inference."
+        self.deployment = bool(self.conf.infer.is_deployment)
+        if not self.deployment:
+            assert self.conf.infer.dataset, \
+                "Please specify the dataset for inference."
             environment.setup_logging_with_config(self.conf)
             self.tracker = InferenceTracker(self.conf)
             self.data_loader = build_loader(self.conf)
@@ -28,51 +48,56 @@ class Inferer(BaseEngineWithInference):
     def _set_mode(self):
         self.conf.mode = "infer"
 
-    def run(self):
-        assert not self.conf.infer.is_deployment, \
-            "`Inferer.run()` cannot be used in deployment, please use `Inferer.infer()`."
+    # ------------------------------------------------------------------ run
 
+    def run(self):
+        assert not self.deployment, \
+            "`Inferer.run()` cannot be used in deployment, please use `Inferer.infer()`."
         self.logger.info("Inference started.")
 
-        import numpy as np
+        # How many examples one loop iteration advances globally: every
+        # process consumes its own batch.
+        stride = communication.get_world_size() * self.conf.infer.batch_size
+        n_examples = len(self.data_loader.dataset)
+        input_key = None
 
         self.tracker.start_dataloading_timer()
-        for i, data in enumerate(self.data_loader):
-            # Iteration index scaled by processes x batch for accurate progress.
-            iter_idx = i * communication.get_world_size() * self.conf.infer.batch_size + 1
-            self.tracker.set_iter_idx(iter_idx)
-            if i == 0:
-                input_key = self._get_input_key(data)
-                if not hasattr(self.data_loader.dataset, "save"):
-                    self.logger.warning(
-                        "The dataset class used does not have a 'save' method."
-                        " It is not necessary, however, it may be useful when"
-                        " outputs should be stored individually or in a specific"
-                        " format ('images/' saves input+output side by side).")
+        for i, batch in enumerate(self.data_loader):
+            self.tracker.set_iter_idx(i * stride + 1)
+            if input_key is None:
+                input_key = self._resolve_input_key(batch)
 
-            self.tracker.start_computation_timer()
-            self.tracker.end_dataloading_timer()
-            out = self.infer(np.asarray(data[input_key]))
-            out = np.asarray(out)  # block: include device time in the timer
-            self.tracker.end_computation_timer()
+            out = self._translate(batch[input_key])
 
             self.tracker.start_saving_timer()
-            metadata = data["metadata"] if "metadata" in data else None
             self.save_generated_tensor(generated_tensor=out,
-                                       metadata=metadata,
+                                       metadata=batch.get("metadata"),
                                        data_loader=self.data_loader)
             self.tracker.end_saving_timer()
 
-            visuals = {"input": np.asarray(data[input_key]), "output": out}
-            self.tracker.log_iter(visuals, len(self.data_loader.dataset))
+            self.tracker.log_iter(
+                {"input": np.asarray(batch[input_key]), "output": out},
+                n_examples)
             self.tracker.start_dataloading_timer()
         self.tracker.close()
 
-    def _get_input_key(self, data):
-        """Input arrives under the dict key 'input' or 'A'."""
-        if "input" in data:
-            return "input"
-        if "A" in data:
-            return "A"
-        raise ValueError("An inference dataset needs to provide"
-                         " the input data under the dict key 'input' or 'A'.")
+    def _translate(self, tensor) -> np.ndarray:
+        """Run the generator under the compute timer; the host materialize
+        blocks so the timer records device time, not dispatch time."""
+        self.tracker.start_computation_timer()
+        self.tracker.end_dataloading_timer()
+        out = np.asarray(self.infer(np.asarray(tensor)))
+        self.tracker.end_computation_timer()
+        return out
+
+    def _resolve_input_key(self, batch) -> str:
+        for key in INPUT_KEYS:
+            if key in batch:
+                break
+        else:
+            raise ValueError(
+                "An inference dataset needs to provide the input data under "
+                f"one of the dict keys {INPUT_KEYS}.")
+        if not hasattr(self.data_loader.dataset, "save"):
+            self.logger.warning(_NO_SAVE_HOOK_NOTE)
+        return key

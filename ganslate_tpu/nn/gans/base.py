@@ -375,7 +375,10 @@ class BaseGAN(ABC):
         return Path(self.output_dir) / "checkpoints"
 
     def save_checkpoint(self, iter_idx: int):
-        """Save `{params, opt_state, step, rng}` (reference: base.py:226-251).
+        """Save `{params, opt_state, step, rng, pools}` (reference:
+        base.py:226-251 — which does NOT save its ImagePools; we do, so a
+        SIGTERM-resume reproduces the uninterrupted trajectory instead of
+        silently resetting the discriminators' fake history).
         Multi-host safe: orbax coordinates across processes."""
         import orbax.checkpoint as ocp
         path = (self._checkpoint_dir() / str(iter_idx)).resolve()
@@ -387,6 +390,8 @@ class BaseGAN(ABC):
                 "step": self.state.step,
                 "rng": jax.random.key_data(self.state.rng),
             }
+            if self.state.pools:
+                payload["pools"] = self.state.pools
             ckptr.save(path, payload, force=True)
 
     def load_networks(self, iter_idx: int):
@@ -409,24 +414,37 @@ class BaseGAN(ABC):
                     "step": self.state.step,
                     "rng": jax.random.key_data(self.state.rng),
                 }
-                try:
-                    restored = ckptr.restore(path, target)
-                except Exception:
-                    # Checkpoints converted from PyTorch carry no optimizer
-                    # state (utils/torch_import.py): restore the rest and
-                    # start the optimizers fresh.
-                    slim = {k: v for k, v in target.items() if k != "opt_state"}
-                    restored = ckptr.restore(path, slim)
-                    if load_optimizers:
-                        logger.warning(
-                            "Checkpoint has no optimizer state (e.g. imported "
-                            "from PyTorch); optimizers start fresh.")
+                if self.state.pools:
+                    target["pools"] = self.state.pools
+                # Progressive fallback: full -> without pools (checkpoints
+                # written before pools were saved) -> without optimizer state
+                # either (checkpoints converted from PyTorch,
+                # utils/torch_import.py).
+                restored = None
+                for drop in ((), ("pools",), ("pools", "opt_state")):
+                    t = {k: v for k, v in target.items() if k not in drop}
+                    try:
+                        restored = ckptr.restore(path, t)
+                        break
+                    except Exception:
+                        if drop == ("pools", "opt_state"):
+                            raise
+                if "opt_state" not in restored and load_optimizers:
+                    logger.warning(
+                        "Checkpoint has no optimizer state (e.g. imported "
+                        "from PyTorch); optimizers start fresh.")
                     load_optimizers = False
                 new_state = self.state.replace(
                     params=restored["params"],
                     rng=jax.random.wrap_key_data(restored["rng"]),
                     step=restored["step"],
                 )
+                if "pools" in restored:
+                    new_state = new_state.replace(pools=restored["pools"])
+                elif self.state.pools:
+                    logger.warning(
+                        "Checkpoint has no pool state (written by an older "
+                        "version); pools start fresh.")
                 if load_optimizers:
                     new_state = new_state.replace(opt_state=restored["opt_state"])
                 else:

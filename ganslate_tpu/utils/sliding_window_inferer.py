@@ -21,8 +21,9 @@ TPU redesign (MONAI's version is dynamic-shaped host-loop code):
 """
 
 import math
+from collections import OrderedDict
 from functools import partial
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 
@@ -113,7 +114,14 @@ class SlidingWindowInferer:
         # when the gaussian map is separable, so the fallback path can be
         # exercised at well-conditioned weights.
         self._force_full_map = _force_full_map
-        self._cache: Dict = {}
+        # Compiled-program cache, keyed on (shape/dtype/roi/..., id(network)).
+        # Each entry stores THE NETWORK ITSELF next to the compiled fn: the
+        # strong reference pins `id(network)` for the entry's lifetime, so a
+        # recycled id can never alias a different network onto a stale
+        # compiled program. LRU-bounded so long-lived servers that rotate
+        # networks or volume geometries don't grow it without limit.
+        self._cache: "OrderedDict" = OrderedDict()
+        self._cache_max = 16
 
     def __call__(self, inputs: jax.Array, network: Callable, params=None):
         """`network` must be PURE: `network(params, x) -> y` with `params` a
@@ -145,10 +153,20 @@ class SlidingWindowInferer:
 
         key = (inputs.shape, str(inputs.dtype), roi, squeeze_depth, id(network),
                params is None, mesh is not None)
-        if key not in self._cache:
-            self._cache[key] = self._build(inputs.shape, roi, squeeze_depth,
-                                           network, mesh)
-        return self._cache[key](inputs, params)
+        entry = self._cache.get(key)
+        if entry is None:
+            compiled = self._build(inputs.shape, roi, squeeze_depth,
+                                   network, mesh)
+            entry = (network, compiled)
+            self._cache[key] = entry
+            while len(self._cache) > self._cache_max:
+                self._cache.popitem(last=False)
+        else:
+            # Can't fail while the entry holds the strong ref (the id is
+            # pinned); kept as a cheap invariant guard.
+            assert entry[0] is network, "sliding-window cache id collision"
+            self._cache.move_to_end(key)
+        return entry[1](inputs, params)
 
     def _build(self, in_shape, roi, squeeze_depth, network, mesh=None):
         spatial = in_shape[1:-1]

@@ -151,3 +151,67 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
     assert f"Loading checkpoint of iteration {k}" in text2
     final = out_dir / "checkpoints" / str(k + 3)
     assert final.exists(), f"resume did not reach iteration {k + 3}:\n{text2[-2000:]}"
+
+
+def test_checkpoint_resume_reproduces_trajectory(tmp_path):
+    """Checkpoint/restore is trajectory-transparent: 3 steps -> checkpoint ->
+    restore -> 3 steps must equal 6 uninterrupted steps BITWISE (same batches,
+    fp32, CPU). Only holds because the checkpoint carries the FULL train
+    state — params, opt_state, rng, and the ImagePools (the reference drops
+    its pools on resume, /root/reference/ganslate/nn/gans/base.py:226-251;
+    an earlier version here did too, silently resetting D's fake history)."""
+    import jax
+    import numpy as np
+
+    from ganslate_tpu.utils.builders import build_gan
+    from ganslate_tpu.utils.testing import make_cyclegan_conf
+
+    def make_batches(n):
+        rng = np.random.default_rng(7)
+        return [{k: rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+                 for k in ("A", "B")} for _ in range(n)]
+
+    def make_model(out_dir):
+        conf = make_cyclegan_conf(output_dir=str(out_dir), batch_size=2,
+                                  image_size=16, n_residual_blocks=1,
+                                  ngf=8, ndf=8, n_layers_D=1, pool_size=4,
+                                  mixed_precision=False, seed=3)
+        model = build_gan(conf)
+        model.setup(example_batch=make_batches(1)[0])
+        return model
+
+    batches = make_batches(6)
+
+    # Uninterrupted run.
+    m_full = make_model(tmp_path / "full")
+    for b in batches:
+        m_full.set_input(b)
+        m_full.optimize_parameters()
+
+    # Interrupted run: 3 steps, checkpoint, restore into a FRESH model.
+    m_a = make_model(tmp_path / "interrupted")
+    for b in batches[:3]:
+        m_a.set_input(b)
+        m_a.optimize_parameters()
+    m_a.save_checkpoint(3)
+
+    m_b = make_model(tmp_path / "interrupted")
+    m_b.conf.train.checkpointing.load_optimizers = True
+    m_b.load_networks(3)
+    # Pools restored, not re-initialized.
+    count = int(jax.device_get(m_b.state.pools["fake_B"].count))
+    assert count == int(jax.device_get(m_a.state.pools["fake_B"].count)) > 0
+    for b in batches[3:]:
+        m_b.set_input(b)
+        m_b.optimize_parameters()
+
+    flat_full = jax.tree_util.tree_leaves(
+        {"params": m_full.state.params, "opt": m_full.state.opt_state,
+         "pools": m_full.state.pools})
+    flat_res = jax.tree_util.tree_leaves(
+        {"params": m_b.state.params, "opt": m_b.state.opt_state,
+         "pools": m_b.state.pools})
+    assert len(flat_full) == len(flat_res)
+    for a, b in zip(flat_full, flat_res):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                      np.asarray(jax.device_get(b)))

@@ -188,3 +188,40 @@ def test_identity_gather_paths(sw_batch):
                     .astype(np.float32))
     out = inferer(x, lambda params, v: v, params={})
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_cache_pins_network_identity_and_is_bounded():
+    """Regression for the id(network) cache key: the cache entry must hold
+    the network itself so a recycled id can never return a compiled program
+    that closed over a DIFFERENT network; and the cache must not grow
+    without bound across geometries/networks."""
+    import weakref
+
+    inferer = SlidingWindowInferer(roi_size=(4, 4), sw_batch_size=2,
+                                   overlap=0.25, distributed=False)
+    x = jnp.ones((1, 6, 6, 1), jnp.float32)
+
+    def make_net(scale):
+        def net(params, v):
+            return v * scale
+        return net
+
+    net1 = make_net(2.0)
+    out1 = inferer(x, net1, params={})
+    ref1 = weakref.ref(net1)
+    del net1, out1
+    # The cache pins the network: its id cannot be recycled while cached.
+    assert ref1() is not None
+
+    # A different network object compiles (and returns) its own program.
+    net2 = make_net(3.0)
+    out2 = inferer(x, net2, params={})
+    np.testing.assert_allclose(np.asarray(out2), 3.0 * np.asarray(x),
+                               atol=1e-5)
+
+    # LRU bound: many geometries don't grow the cache past the cap.
+    for i in range(inferer._cache_max + 4):
+        inferer(jnp.ones((1, 6 + i, 6, 1), jnp.float32), net2, params={})
+    assert len(inferer._cache) <= inferer._cache_max
+    # Evicting net1's entry released the pin.
+    assert ref1() is None
