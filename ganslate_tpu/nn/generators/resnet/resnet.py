@@ -196,11 +196,19 @@ class ResnetGenerator(nn.Module):
             else:
                 h = NormAct(self.norm_type, "relu")(h)
 
-        # Output c7s1-out + tanh.
+        # Output c7s1-out + tanh. The head is the G's worst MXU shape: 3
+        # output channels = 3/128 lanes. r=2 cells give 12 lanes; r=4 give
+        # 48 — measured on the fused CycleGAN-256 step the r=4 head cuts the
+        # head fwd+bwd cluster ~3x (kernel 7->10, 2x the MACs, 4x the
+        # lanes), so use the largest factor the extent allows (exact either
+        # way: the canonical kernel is transformed, not re-trained).
+        head_cells = cells
+        if cells and all(d % 4 == 0 for d in h.shape[1:-1]):
+            head_cells = 4
         h = Conv(self.out_channels, k7, padding=3, pad_mode=self.pad_mode,
                  use_bias=use_bias, kernel_init=init, s2d_space=s2d,
-                 to_cells=cells, name="out")(h)
+                 to_cells=head_cells, name="out")(h)
         if s2d or cells:
             from ganslate_tpu.ops.s2d_space import decode as _decode
-            h = _decode(h, self.out_channels, 2)
+            h = _decode(h, self.out_channels, head_cells if cells else 2)
         return jax.numpy.tanh(h)

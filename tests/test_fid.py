@@ -157,6 +157,59 @@ def test_fid_with_inception_features():
     assert diff > same
 
 
+def test_inception_golden_features():
+    """Golden-value pin on the flax InceptionV3 WITHOUT torch: fixed
+    deterministic params (init key 0) + fixed analytic inputs must
+    reproduce checked-in pool3 feature constants. The forward-parity test
+    above proves flax == torch-mirror, but both could drift together in a
+    future edit; these constants freeze today's verified architecture so
+    any structural change (layer order, padding, pooling, BN epsilon) is
+    caught even in a torch-free environment."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganslate_tpu.nn.inception import InceptionV3
+
+    model = InceptionV3()
+    x0 = jnp.zeros((1, 75, 75, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x0)["params"]
+
+    h = w = 75
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img0 = np.stack([np.sin(yy / 5), np.cos(xx / 7),
+                     np.sin((xx + yy) / 11)], -1)
+    img1 = np.stack([np.tanh((xx - 37) / 20), np.sin(xx * yy / 301),
+                     np.cos(yy / 3)], -1)
+    x = jnp.asarray(np.stack([img0, img1]))
+
+    feats, _ = jax.jit(
+        lambda p, v: model.apply({"params": p}, v))(params, x)
+    feats = np.asarray(feats, np.float64)
+
+    # Constants generated 2026-08-19 from the torch-mirror-verified net
+    # (top-8 |feature| indices; plus full-vector mean/std as a whole-net
+    # checksum).
+    idx = [94, 133, 147, 197, 201, 280, 283, 290]
+    g0 = [0.0013047984102740884, 0.0008216078276745975,
+          0.0010041375644505024, 0.0011666431091725826,
+          0.0008182117599062622, 0.0008536138338968158,
+          0.0007991061429493129, 0.0007160635432228446]
+    g1 = [0.001108786789700389, 0.0006865719915367663,
+          0.0008686591754667461, 0.0010119522921741009,
+          0.0007198444218374789, 0.0007226384477689862,
+          0.0007530197035521269, 0.000727022357750684]
+    np.testing.assert_allclose(feats[0, idx], g0, rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(feats[1, idx], g1, rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(feats.mean(axis=1),
+                               [5.425347820815253e-05,
+                                4.811083775925831e-05],
+                               rtol=2e-3, atol=1e-9)
+    np.testing.assert_allclose(feats.std(axis=1),
+                               [0.0001195202138845321,
+                                0.0001051439787445814],
+                               rtol=2e-3, atol=1e-9)
+
+
 def test_fid_config_reachable(tmp_path):
     """`metrics.fid` + `metrics.fid_weights` reach the engine hook: the
     weights file loads into the jitted inception feature_fn and the metric

@@ -276,6 +276,34 @@ def _lockstep(tmp_path, ref_cls, ref_model, twin_conf, our_model, batches,
         f"max param drift {diffs.max():.2e} vs chaos floor {floor.max():.2e}"
 
 
+def test_cyclegan_lockstep_long_horizon(tmp_path):
+    """50 Adam steps of lockstep (vs the 5 the per-family tests run).
+
+    What horizon adds: the chaos floor grows exponentially with steps, so a
+    SMALL systematic error — an LR schedule off by one, a bias-correction
+    power drifting from torch's, pool bookkeeping skew — that hides inside
+    the 5-step tolerance compounds FASTER than the floor and trips the
+    bounded-multiple assertions here. The tolerance construction is
+    unchanged (running-max chaos floor, x30 losses / x10 params): the test
+    passing at 50 steps means our drift GROWS AT THE SAME RATE as the
+    torch-vs-perturbed-torch control, not merely that it is small."""
+    os.environ.pop("WORLD_SIZE", None)
+    torch.manual_seed(0)
+    opt = {"lambda_AB": 10.0, "lambda_BA": 10.0, "lambda_identity": 0.0,
+           "proportion_ssim": 0.0}
+    ref_cls = load_reference_gans()["CycleGAN"]
+    ref_conf = _ref_conf(tmp_path, "x.CycleGAN", opt, {"B": CH, "A": CH})
+    ref = ref_cls(ref_conf)
+
+    conf = _our_conf(tmp_path, "ganslate.nn.gans.unpaired.CycleGAN", opt, {"B": CH})
+    ours = build_gan(conf)
+    batches = _batches(10, 50)
+    ours.setup(example_batch=batches[0])
+
+    _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
+              loss_names=["G_AB", "G_BA", "cycle_A", "cycle_B", "D_A", "D_B"])
+
+
 @pytest.mark.parametrize("proportion_ssim", [0.0, 0.84],
                          ids=["l1_cycle", "ssim_cycle"])
 def test_cyclegan_lockstep(tmp_path, proportion_ssim):
@@ -405,6 +433,92 @@ def test_revgan_lockstep(tmp_path, monkeypatch):
 
     _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
               loss_names=["G_AB", "G_BA", "cycle_A", "cycle_B", "D_A", "D_B"])
+
+
+def test_cut_unpinned_distributional(tmp_path):
+    """CUT with the patch-selection RNG LIVE on both sides (the lockstep
+    test above pins `randperm`→`arange`, so the real random-patch dynamics
+    are never compared there). Pointwise comparison is impossible with
+    unpinned RNG, so this asserts DISTRIBUTIONAL equivalence: K init-matched
+    runs per side (reference init imported into ours, identical batch
+    sequence, only the permutation draws differ), and for every loss the
+    tail-mean trajectory statistic of ours must land inside the reference
+    runs' spread (widened interval overlap). Catches systematic shifts in
+    the NCE patch machinery — wrong temperature, wrong patch count, biased
+    selection — that arange-pinning structurally cannot see.
+    Reference RNG path: /root/reference/ganslate/nn/gans/unpaired/cut.py:259-272."""
+    os.environ.pop("WORLD_SIZE", None)
+
+    K, N, TAIL = 3, 24, 12
+    opt = {"lambda_adv": 1.0, "lambda_nce": 1.0, "lambda_nce_idt": 0.5,
+           "nce_T": 0.07}
+    extras = {"nce_layers": [0, 4, 8, 10], "mlp_nc": 16, "num_patches": 16,
+              "use_equivariance_flip": False}
+    g2d = {"_target_": "ganslate.nn.generators.Resnet2D",
+           "n_residual_blocks": 1,
+           "in_out_channels": {"AB": [1, 1], "BA": [1, 1]},
+           "in_channels": 1}
+    d2d = {"_target_": "ganslate.nn.discriminators.PatchGAN2D",
+           "ndf": 8, "n_layers": 1, "kernel_size": [4, 4],
+           "in_channels": {"B": 1}}
+    loss_names = ["D", "G", "NCE", "NCE_idt"]
+    batches = _batches(20, N, ch=1)  # one sequence shared by every run
+
+    ref_cls = load_reference_gans()["CUT"]
+    ref_tail, our_tail = {n: [] for n in loss_names}, {n: [] for n in loss_names}
+    for k in range(K):
+        run_dir = tmp_path / f"run{k}"
+        run_dir.mkdir()
+        torch.manual_seed(k)  # distinct init AND distinct randperm stream
+        ref_conf = _ref_conf(run_dir, "x.CUT", opt, None, generator=g2d,
+                             discriminator=d2d, gan_extras=extras)
+        ref = ref_cls(ref_conf)
+        ref.save_checkpoint(0)
+
+        conf = _our_conf(run_dir, "ganslate.nn.gans.unpaired.CUT", opt,
+                         {"B": 1},
+                         generator={"_target_": g2d["_target_"],
+                                    "n_residual_blocks": 1,
+                                    "in_out_channels": {"AB": [1, 1]}},
+                         discriminator={"_target_": d2d["_target_"],
+                                        "ndf": 8, "n_layers": 1,
+                                        "in_channels": {"B": 1}},
+                         gan_extras=extras)
+        conf.train.seed = 100 + k  # distinct jax permutation stream
+        ours = build_gan(conf)
+        ours.setup(example_batch=batches[0])
+        import_torch_checkpoint(
+            os.path.join(str(run_dir), "checkpoints/0.pth"), ours,
+            example_batch=batches[0])
+
+        traj_r = {n: [] for n in loss_names}
+        traj_o = {n: [] for n in loss_names}
+        for batch in batches:
+            ref.set_input({"A": _to_torch(batch["A"]),
+                           "B": _to_torch(batch["B"])})
+            ref.optimize_parameters()
+            ours.set_input(batch)
+            ours.optimize_parameters()
+            for n in loss_names:
+                traj_r[n].append(float(ref.losses[n].detach()))
+                traj_o[n].append(float(ours.losses[n]))
+        for n in loss_names:
+            ref_tail[n].append(float(np.mean(traj_r[n][-TAIL:])))
+            our_tail[n].append(float(np.mean(traj_o[n][-TAIL:])))
+
+    for n in loss_names:
+        r, o = np.asarray(ref_tail[n]), np.asarray(our_tail[n])
+        # Widen each side's [min,max] by half its own spread (K=3 ranges
+        # undercover the true spread) plus a small absolute slack, then
+        # require the intervals to OVERLAP: a systematic shift larger than
+        # the RNG-induced run-to-run spread fails.
+        pad_r = 0.5 * (r.max() - r.min()) + 0.05 * max(1.0, abs(r.mean()))
+        pad_o = 0.5 * (o.max() - o.min()) + 0.05 * max(1.0, abs(o.mean()))
+        lo = max(r.min() - pad_r, o.min() - pad_o)
+        hi = min(r.max() + pad_r, o.max() + pad_o)
+        assert lo <= hi, \
+            f"loss `{n}` tail-means are distributionally disjoint: " \
+            f"ref {r} vs ours {o} — systematic NCE/patch-RNG mismatch"
 
 
 def test_cut_lockstep(tmp_path, monkeypatch):

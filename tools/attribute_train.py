@@ -14,6 +14,10 @@ import sys
 import time
 from collections import defaultdict
 
+# Run as a script from anywhere; PYTHONPATH must stay untouched (it breaks
+# the axon PJRT plugin registration in this environment).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 STEPS = 3
@@ -85,8 +89,10 @@ def parse_fusion_bodies(hlo_text):
 
     fusion_info = {}
     for line in hlo_text.splitlines():
-        fm = re.search(r"%([\w.\-]+) = ([^\s]+) fusion\(.*calls=%?([\w.\-]+)",
-                       line)
+        # Output type is either a single shape or a TUPLE "(shape, shape)" —
+        # tuple types contain spaces, so match them explicitly.
+        fm = re.search(r"%([\w.\-]+) = (.+?) fusion\(.*"
+                       r"calls=%?([\w.\-]+)", line)
         if fm:
             fusion_info[fm.group(1)] = (fm.group(3), fm.group(2))
     return comp_ops, fusion_info
