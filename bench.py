@@ -183,9 +183,33 @@ def bench_vnet3d_sliding_window():
     sw_spread_pct = 100.0 * (max(call_times) - min(call_times)) / call_s
 
     vols_per_sec = volume_shape[0] / call_s
+
+    # End-to-end SERVING: volumes start and end as host numpy arrays — the
+    # reference's Inferer loop pays the same transfers
+    # (/root/reference/ganslate/engines/inferer.py:35-62). JAX dispatch is
+    # async, so enqueueing call i+1's H2D+compute while call i's D2H drains
+    # overlaps transfer with compute without threads (pipeline depth 2).
+    # Fuller sweep incl. serial mode + transfer rates: tools/bench_e2e_sw.py.
+    rng_h = np.random.default_rng(1)
+    host_vols = [rng_h.uniform(-1, 1, volume_shape).astype(np.float32)
+                 for _ in range(4)]
+    start = time.perf_counter()
+    inflight, n_done = [], 0
+    for hv in host_vols:
+        inflight.append(inferer(jax.device_put(hv), network, pc))
+        if len(inflight) > 2:
+            np.asarray(inflight.pop(0))
+            n_done += 1
+    while inflight:
+        np.asarray(inflight.pop(0))
+        n_done += 1
+    e2e_s = (time.perf_counter() - start) / n_done
+    e2e_vols_per_sec = volume_shape[0] / e2e_s
+
     result = {
         "vnet3d_sliding_window_vols_per_sec": round(vols_per_sec, 3),
         "sw_call_spread_pct": round(sw_spread_pct, 1),
+        "sw_end_to_end_host_vols_per_sec": round(e2e_vols_per_sec, 3),
         "volume_shape": list(volume_shape[1:-1]),
         "volume_batch": volume_shape[0],
         "window": list(roi),

@@ -49,6 +49,15 @@ class TrainConfig(base.BaseEngineConfig):
     seed: Optional[int] = None
     metrics: TrainMetricsConfig = field(default_factory=TrainMetricsConfig)
 
+    # Multi-step dispatch (beyond-reference, TPU-native): run this many
+    # train steps per device dispatch — the trainer stacks that many loader
+    # batches and the fused step runs under one `lax.scan`, amortizing the
+    # per-dispatch host/transport overhead (measured 2-10 ms/dispatch on
+    # relay-backed PJRT; docs/benchmarks.md). Logging/checkpoint/validation
+    # frequencies snap to chunk boundaries, so keep them multiples of this.
+    # 1 = reference-identical per-iteration dispatch.
+    steps_per_dispatch: int = 1
+
     # Spatially-sharded training (beyond-reference, SURVEY.md 5.7): reserve
     # this many mesh devices on a `spatial` axis and shard each sample's
     # FIRST spatial dim across them (the remaining devices form the `data`

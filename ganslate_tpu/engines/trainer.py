@@ -72,6 +72,10 @@ class Trainer(BaseEngine):
 
         self._install_preemption_handler()
 
+        k = int(getattr(self.conf.train, "steps_per_dispatch", 1) or 1)
+        if k > 1:
+            return self._run_chunked(k)
+
         self.tracker.start_dataloading_timer()
         for i, data in zip(self.iters, self._batches()):
             self._set_iter_idx(i)
@@ -94,6 +98,64 @@ class Trainer(BaseEngine):
                 self.logger.warning(
                     f"Preemption signal received; saving checkpoint at iteration "
                     f"{self.iter_idx} and stopping.")
+                self.model.save_checkpoint(self.iter_idx)
+                break
+
+            self.tracker.start_dataloading_timer()
+
+        self._profiler_stop()
+        self.tracker.close()
+        if self.validator:
+            self.validator.tracker.close()
+
+    def _run_chunked(self, k: int):
+        """Multi-step dispatch (train.steps_per_dispatch = k): collect k
+        loader batches, run k fused steps in ONE device dispatch
+        (BaseGAN.make_multi_step), and do tracker/checkpoint/validation
+        work at chunk boundaries. Logged losses/visuals are the chunk's
+        LAST step; the computation timer covers the whole chunk. Gates
+        (logging/checkpoint/validation freq) only fire on iteration indices
+        at chunk boundaries, so keep frequencies multiples of k."""
+        for name, freq in (("logging.freq", self.conf.train.logging.freq),
+                           ("checkpointing.freq",
+                            self.conf.train.checkpointing.freq)):
+            if freq % k:
+                self.logger.warning(
+                    f"train.{name}={freq} is not a multiple of "
+                    f"steps_per_dispatch={k}; it will fire only when a "
+                    f"chunk boundary lands on it.")
+
+        batches, idxs = [], []
+        last_iter = self.iters[-1]
+        self.tracker.start_dataloading_timer()
+        for i, data in zip(self.iters, self._batches()):
+            batches.append(data)
+            idxs.append(i)
+            if len(batches) < k and i != last_iter:
+                continue
+
+            self._set_iter_idx(idxs[-1])
+            self._profiler_step()
+            self.tracker.start_computation_timer()
+            self.tracker.end_dataloading_timer()
+
+            self.model.set_input_multi(batches)
+            will_log = self.iter_idx % self.conf.train.logging.freq == 0
+            self.model.optimize_parameters(sync=will_log)
+            self.tracker.end_computation_timer()
+            batches, idxs = [], []
+
+            learning_rates, losses, visuals, metrics = \
+                self.model.get_loggable_data()
+            self.tracker.log_iter(learning_rates, losses, visuals, metrics)
+
+            self._save_checkpoint()
+            self._run_validation()
+
+            if self._preempted:
+                self.logger.warning(
+                    f"Preemption signal received; saving checkpoint at "
+                    f"iteration {self.iter_idx} and stopping.")
                 self.model.save_checkpoint(self.iter_idx)
                 break
 

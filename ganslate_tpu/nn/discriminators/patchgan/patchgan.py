@@ -13,8 +13,9 @@ from typing import Sequence, Tuple
 
 from flax import linen as nn
 
-from ganslate_tpu.nn.layers import (Conv, NormAct, is_bias_before_norm,
-                                    leaky_relu, make_initializer)
+from ganslate_tpu.nn.layers import (Conv, NormAct, inert_bias,
+                                    is_bias_before_norm, leaky_relu,
+                                    make_initializer)
 
 
 class PatchGAN(nn.Module):
@@ -30,6 +31,7 @@ class PatchGAN(nn.Module):
     def __call__(self, x):
         init = make_initializer(self.weight_init_type, self.weight_init_gain)
         use_bias = is_bias_before_norm(self.norm_type)
+        inert = inert_bias(self.norm_type)
         kw = tuple(self.kernel_size)
         padw = 1
 
@@ -40,12 +42,12 @@ class PatchGAN(nn.Module):
         for n in range(1, self.n_layers):
             nf_mult = min(2 ** n, 8)
             h = Conv(self.ndf * nf_mult, kw, strides=2, padding=padw, use_bias=use_bias,
-                     kernel_init=init, name=f"down{n}")(h)
+                     bias_inert=inert, kernel_init=init, name=f"down{n}")(h)
             h = NormAct(self.norm_type, "leaky_relu")(h)
 
         nf_mult = min(2 ** self.n_layers, 8)
         h = Conv(self.ndf * nf_mult, kw, strides=1, padding=padw, use_bias=use_bias,
-                 kernel_init=init, name="penultimate")(h)
+                 bias_inert=inert, kernel_init=init, name="penultimate")(h)
         h = NormAct(self.norm_type, "leaky_relu")(h)
 
         return Conv(1, kw, strides=1, padding=padw, kernel_init=init, name="head")(h)

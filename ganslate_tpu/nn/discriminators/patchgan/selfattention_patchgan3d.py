@@ -12,7 +12,8 @@ from flax import linen as nn
 
 from ganslate_tpu import configs
 from ganslate_tpu.nn.attention import SelfAttentionBlock
-from ganslate_tpu.nn.layers import (Conv, get_norm_layer, is_bias_before_norm,
+from ganslate_tpu.nn.layers import (Conv, get_norm_layer, inert_bias,
+                                    is_bias_before_norm,
                                     leaky_relu, make_initializer)
 
 
@@ -49,7 +50,8 @@ class SelfAttentionPatchGAN3D(nn.Module):
         for n in range(1, self.n_layers):
             nf_mult = min(2 ** n, 8)
             h = Conv(self.ndf * nf_mult, kw, strides=2, padding=padw,
-                     use_bias=use_bias, kernel_init=init, name=f"down{n}")(h)
+                     use_bias=use_bias, bias_inert=inert_bias(self.norm_type),
+                     kernel_init=init, name=f"down{n}")(h)
             h = norm()(h)
             h = leaky_relu(h)
 
@@ -58,7 +60,8 @@ class SelfAttentionPatchGAN3D(nn.Module):
 
         nf_mult = min(2 ** self.n_layers, 8)
         h = Conv(self.ndf * nf_mult, kw, strides=1, padding=padw,
-                 use_bias=use_bias, kernel_init=init, name="penultimate")(h)
+                 use_bias=use_bias, bias_inert=inert_bias(self.norm_type),
+                 kernel_init=init, name="penultimate")(h)
         h = norm()(h)
         h = leaky_relu(h)
 

@@ -44,6 +44,14 @@ from ganslate_tpu.parallel import get_mesh, replicate_to_mesh, shard_batch
 # Batched real/fake discriminator forwards (see `apply_batched`);
 # module-level so A/B harnesses can flip it.
 FUSED_D_FORWARD = True
+# Paired-symmetric network execution (see `apply_paired`); module-level so
+# A/B harnesses can flip it. OFF by default: measured a 10% REGRESSION on
+# the fused CycleGAN-256 step (71.5 -> 64.5 img/s, tools/ab_train_paired.py)
+# — XLA lowers the vmapped stacked-weights convs to grouped convs that run
+# slower than two separate full-lane convs. Kept because the fallback
+# structure documents the experiment and the flag lets future XLA versions
+# be re-measured in one line.
+PAIRED_APPLY = False
 from ganslate_tpu.utils import communication
 from ganslate_tpu.utils.metrics.train_metrics import TrainingMetrics
 
@@ -165,16 +173,7 @@ class BaseGAN(ABC):
         force the decision either way with a boolean `batch_fusable`
         attribute."""
         module = self.networks[name]
-        declared = getattr(module, "batch_fusable", None)
-        if declared is not None:
-            fusable = FUSED_D_FORWARD and bool(declared)
-        else:
-            fusable = (FUSED_D_FORWARD
-                       and getattr(module, "norm_type", None) is not None
-                       and module.norm_type != "batch"
-                       and not getattr(module, "use_dropout", False)
-                       and not getattr(module, "stochastic_rngs", ()))
-        if not fusable:
+        if not self._batch_fusable(module):
             keys = (jax.random.split(rng, len(xs)) if rng is not None
                     else [None] * len(xs))
             return [self.apply(name, params, x, rng=k)
@@ -183,6 +182,65 @@ class BaseGAN(ABC):
         out = self.apply(name, params, jnp.concatenate(xs, axis=0))
         return [jax.lax.slice_in_dim(out, i * b, (i + 1) * b, axis=0)
                 for i in range(len(xs))]
+
+    @staticmethod
+    def _batch_fusable(module) -> bool:
+        """May several same-shaped inputs run as one concatenated batch
+        through `module` exactly? (See `apply_batched` for the contract.)"""
+        declared = getattr(module, "batch_fusable", None)
+        if declared is not None:
+            return FUSED_D_FORWARD and bool(declared)
+        return (FUSED_D_FORWARD
+                and getattr(module, "norm_type", None) is not None
+                and module.norm_type != "batch"
+                and not getattr(module, "use_dropout", False)
+                and not getattr(module, "stochastic_rngs", ()))
+
+    @staticmethod
+    def _pair_fusable(m0, m1) -> bool:
+        """May the identical-architecture pair run as one stacked-weights
+        vmapped pass? (See `apply_paired` for the contract.)"""
+        return (PAIRED_APPLY and type(m0) is type(m1) and m0 == m1
+                and getattr(m0, "norm_type", None) != "batch"
+                and not getattr(m0, "use_dropout", False)
+                and not getattr(m0, "stochastic_rngs", ()))
+
+    def apply_paired(self, names, params_by_name, xs, rng=None):
+        """Run two ARCHITECTURALLY IDENTICAL networks on their respective
+        inputs as ONE vmapped pass over stacked weights; returns the pair of
+        outputs. Falls back to two `apply` calls when the modules differ or
+        are stochastic.
+
+        The reference runs its symmetric network pairs (G_AB/G_BA,
+        D_A/D_B — cyclegan.py:92-214) as separate module calls. On TPU the
+        duplication is pure overhead: the CycleGAN step traces ~10k XLA ops,
+        most of them small fusions (pads, norm stats, activations) issued
+        once per network, each carrying fixed sequencer cost; and every
+        boundary-layer conv runs twice at partial MXU occupancy. Stacking
+        the two param trees on a leading axis and vmapping the module turns
+        each pair of fusions into one with doubled batch — XLA lowers the
+        vmapped convs to batch-grouped convs. Exact per slice (the same
+        contractions, grouped); deterministic modules only, and only when
+        the two flax modules compare EQUAL (same class, same hyperparams),
+        so shape-incompatible pairs (e.g. different in_channels per domain)
+        take the safe per-network path."""
+        m0, m1 = self.networks[names[0]], self.networks[names[1]]
+        if not self._pair_fusable(m0, m1):
+            keys = (jax.random.split(rng, 2) if rng is not None
+                    else (None, None))
+            return tuple(self.apply(n, params_by_name[n], x, rng=k)
+                         for n, x, k in zip(names, xs, keys))
+        params = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            params_by_name[names[0]], params_by_name[names[1]])
+        x = jnp.stack([xs[0], xs[1]])
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            x = x.astype(self.compute_dtype)
+        out = jax.vmap(lambda p, v: m0.apply({"params": p}, v))(params, x)
+        return out[0], out[1]
 
     def apply(self, name: str, params, x, rng=None, **kwargs):
         """Run a network under the compute-dtype policy. `params` is the
@@ -236,7 +294,10 @@ class BaseGAN(ABC):
             if load_iter:
                 self.load_networks(load_iter)
 
-            self._train_step_fn = jax.jit(self.make_train_step(), donate_argnums=0)
+            k = int(getattr(self.conf.train, "steps_per_dispatch", 1) or 1)
+            self._train_step_fn = jax.jit(self.make_multi_step(k)
+                                          if k > 1 else self.make_train_step(),
+                                          donate_argnums=0)
         else:
             load_iter = self.conf[self.conf.mode].checkpointing.load_iter
             self.load_networks(load_iter)
@@ -292,6 +353,61 @@ class BaseGAN(ABC):
         """Place the host batch onto the mesh, sharded over `data`."""
         self._batch = shard_batch(
             {k: v for k, v in batch.items() if hasattr(v, "shape")}, self.mesh)
+
+    # ------------------------------------------------- multi-step dispatch
+
+    def make_multi_step(self, k: int) -> Callable:
+        """`(state, stacked_batches) -> (state, last_step_logs)` running `k`
+        fused train steps in ONE device dispatch.
+
+        Per-dispatch overhead on relay-backed PJRT transports is 2-10 ms
+        (pytree flatten + transport round-trip), which the reference's
+        per-iteration Python dispatch pays every step
+        (/root/reference/ganslate/engines/trainer.py:64-76). Scanning the
+        step body over a (k, B, ...) batch stack pays it once per k steps.
+        The first step runs unrolled to seed the visuals carry (the step's
+        log structure isn't known before tracing); the remaining k-1 ride a
+        `lax.scan`, so compile time stays ~one step body. Only the LAST
+        step's logs are returned — scan-stacking k copies of the visual
+        grids would cost k full image sets of HBM for logs that the tracker
+        reads at most once per chunk."""
+        step = self.make_train_step()
+        if k <= 1:
+            return step
+
+        def multi(state, batches):
+            first = jax.tree_util.tree_map(lambda a: a[0], batches)
+            rest = jax.tree_util.tree_map(lambda a: a[1:], batches)
+            # Tail chunks may arrive shorter than k (trainer epoch ends);
+            # the stack length is static at trace time.
+            if jax.tree_util.tree_leaves(rest)[0].shape[0] == 0:
+                return step(state, first)
+            state, logs0 = step(state, first)
+
+            def body(carry, b):
+                s, _ = carry
+                s, logs = step(s, b)
+                small = {n: v for n, v in logs.items() if n != "visuals"}
+                return (s, logs.get("visuals", {})), small
+
+            (state, visuals), smalls = jax.lax.scan(
+                body, (state, logs0.get("visuals", {})), rest)
+            logs = jax.tree_util.tree_map(lambda a: a[-1], smalls)
+            logs["visuals"] = visuals
+            return state, logs
+
+        return multi
+
+    def set_input_multi(self, batches):
+        """Stack k host batches on a new leading axis and place them on the
+        mesh (batch dim sharded over `data`, step dim replicated)."""
+        import numpy as _np
+        stacked = {}
+        for key in batches[0]:
+            if hasattr(batches[0][key], "shape"):
+                stacked[key] = _np.stack([_np.asarray(b[key])
+                                          for b in batches])
+        self._batch = shard_batch(stacked, self.mesh, stacked_steps=True)
 
     def optimize_parameters(self, sync: bool = False):
         """Run the single fused train step; keep logs as lazy device arrays.
@@ -374,6 +490,14 @@ class BaseGAN(ABC):
     def _checkpoint_dir(self) -> Path:
         return Path(self.output_dir) / "checkpoints"
 
+    def _checkpointable_pools(self) -> Dict[str, Any]:
+        """Pools with actual buffers. `pool_size=0` pools are stateless
+        pass-throughs whose arrays have zero rows — orbax refuses zero-size
+        arrays, and there is nothing to save anyway."""
+        return {name: pool for name, pool in self.state.pools.items()
+                if all(leaf.size > 0
+                       for leaf in jax.tree_util.tree_leaves(pool))}
+
     def save_checkpoint(self, iter_idx: int):
         """Save `{params, opt_state, step, rng, pools}` (reference:
         base.py:226-251 — which does NOT save its ImagePools; we do, so a
@@ -390,8 +514,9 @@ class BaseGAN(ABC):
                 "step": self.state.step,
                 "rng": jax.random.key_data(self.state.rng),
             }
-            if self.state.pools:
-                payload["pools"] = self.state.pools
+            pools = self._checkpointable_pools()
+            if pools:
+                payload["pools"] = pools
             ckptr.save(path, payload, force=True)
 
     def load_networks(self, iter_idx: int):
@@ -414,8 +539,9 @@ class BaseGAN(ABC):
                     "step": self.state.step,
                     "rng": jax.random.key_data(self.state.rng),
                 }
-                if self.state.pools:
-                    target["pools"] = self.state.pools
+                saved_pools = self._checkpointable_pools()
+                if saved_pools:
+                    target["pools"] = saved_pools
                 # Progressive fallback: full -> without pools (checkpoints
                 # written before pools were saved) -> without optimizer state
                 # either (checkpoints converted from PyTorch,
@@ -440,8 +566,11 @@ class BaseGAN(ABC):
                     step=restored["step"],
                 )
                 if "pools" in restored:
-                    new_state = new_state.replace(pools=restored["pools"])
-                elif self.state.pools:
+                    # Zero-size (disabled) pools aren't saved; keep their
+                    # fresh stateless init and merge the restored buffers.
+                    new_state = new_state.replace(
+                        pools={**self.state.pools, **restored["pools"]})
+                elif saved_pools:
                     logger.warning(
                         "Checkpoint has no pool state (written by an older "
                         "version); pools start fresh.")

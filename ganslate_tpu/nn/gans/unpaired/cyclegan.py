@@ -85,26 +85,37 @@ class CycleGAN(BaseGAN):
         training_metrics = self.training_metrics
         opt_G, opt_D = self.optimizers["G"], self.optimizers["D"]
 
+        apply_paired = self.apply_paired
+
         def g_forward_and_loss(params_G, params_D, real_A, real_B, key):
             """All generator forwards + the full G objective. `key` drives
             train-time stochasticity (dropout / multiscale-D crops) with a
             distinct subkey per apply site, matching the reference's fresh
-            randomness on every module call in train mode."""
-            ks = jax.random.split(key, 8)
-            fake_B = apply("G_AB", params_G["G_AB"], real_A, rng=ks[0])
-            rec_A = apply("G_BA", params_G["G_BA"], fake_B, rng=ks[1])
-            fake_A = apply("G_BA", params_G["G_BA"], real_B, rng=ks[2])
-            rec_B = apply("G_AB", params_G["G_AB"], fake_A, rng=ks[3])
+            randomness on every module call in train mode.
+
+            Each G/G and D/D pair runs as ONE stacked-weights pass
+            (BaseGAN.apply_paired): the two translation directions are
+            data-independent stage by stage — {G_AB(A), G_BA(B)}, then
+            {G_BA(fake_B), G_AB(fake_A)} — so the symmetric networks
+            execute as doubled-batch grouped convs instead of twice the
+            fusion count."""
+            ks = jax.random.split(key, 4)
+            # Fixed (G_AB, G_BA) stacking order at every site so XLA CSEs
+            # the param stack to a single materialization.
+            fake_B, fake_A = apply_paired(
+                ("G_AB", "G_BA"), params_G, (real_A, real_B), rng=ks[0])
+            rec_B, rec_A = apply_paired(
+                ("G_AB", "G_BA"), params_G, (fake_A, fake_B), rng=ks[1])
 
             visuals = {"real_A": real_A, "fake_B": fake_B, "rec_A": rec_A,
                        "real_B": real_B, "fake_A": fake_A, "rec_B": rec_B}
             if use_identity:
-                visuals["idt_B"] = apply("G_AB", params_G["G_AB"], real_B, rng=ks[4])
-                visuals["idt_A"] = apply("G_BA", params_G["G_BA"], real_A, rng=ks[5])
+                visuals["idt_B"], visuals["idt_A"] = apply_paired(
+                    ("G_AB", "G_BA"), params_G, (real_B, real_A), rng=ks[2])
 
             # Adversarial: fool frozen discriminators.
-            pred_B = apply("D_B", params_D["D_B"], fake_B, rng=ks[6])
-            pred_A = apply("D_A", params_D["D_A"], fake_A, rng=ks[7])
+            pred_B, pred_A = apply_paired(
+                ("D_B", "D_A"), params_D, (fake_B, fake_A), rng=ks[3])
             losses = {
                 "G_AB": criterion_adv(pred_B, target_is_real=True),
                 "G_BA": criterion_adv(pred_A, target_is_real=True),
@@ -116,12 +127,24 @@ class CycleGAN(BaseGAN):
         def d_loss(params_D, real_A, real_B, fake_A, fake_B, key):
             """Both discriminator objectives against pooled (stale) fakes.
             Real/fake run as one batched D forward when exact
-            (BaseGAN.apply_batched)."""
-            ks = jax.random.split(key, 2)
-            pred_real_B, pred_fake_B = apply_batched(
-                "D_B", params_D["D_B"], [real_B, fake_B], rng=ks[0])
-            pred_real_A, pred_fake_A = apply_batched(
-                "D_A", params_D["D_A"], [real_A, fake_A], rng=ks[1])
+            (BaseGAN.apply_batched), and the D_B/D_A pair additionally runs
+            as one stacked-weights pass (BaseGAN.apply_paired) — the whole
+            D update is then a SINGLE network execution at 4x batch."""
+            m_B, m_A = self.networks["D_B"], self.networks["D_A"]
+            if self._batch_fusable(m_B) and self._pair_fusable(m_B, m_A):
+                b = real_B.shape[0]
+                out_B, out_A = apply_paired(
+                    ("D_B", "D_A"), params_D,
+                    (jnp.concatenate([real_B, fake_B], axis=0),
+                     jnp.concatenate([real_A, fake_A], axis=0)))
+                pred_real_B, pred_fake_B = out_B[:b], out_B[b:]
+                pred_real_A, pred_fake_A = out_A[:b], out_A[b:]
+            else:
+                ks = jax.random.split(key, 2)
+                pred_real_B, pred_fake_B = apply_batched(
+                    "D_B", params_D["D_B"], [real_B, fake_B], rng=ks[0])
+                pred_real_A, pred_fake_A = apply_batched(
+                    "D_A", params_D["D_A"], [real_A, fake_A], rng=ks[1])
             preds = {"real_B": pred_real_B, "fake_B": pred_fake_B,
                      "real_A": pred_real_A, "fake_A": pred_fake_A}
             loss_D_B = (criterion_adv(preds["real_B"], True) +

@@ -20,7 +20,7 @@ from ganslate_tpu import configs
 from ganslate_tpu.configs.omega import MISSING
 from ganslate_tpu.nn.invertible import InvertibleSequence
 from ganslate_tpu.nn.layers import (Conv, ConvTranspose, apply_norm_s2d,
-                                    is_bias_before_norm, make_initializer)
+                                    inert_bias, is_bias_before_norm, make_initializer)
 
 
 @dataclass
@@ -49,10 +49,12 @@ class _DownConv(nn.Module):
         use_bias = is_bias_before_norm(self.norm_type)
         k5, k3 = (5,) * self.spatial_dims, (3,) * self.spatial_dims
         h = Conv(self.features, k5, padding=2, pad_mode="replicate",
-                 use_bias=use_bias, kernel_init=self.kernel_init,
+                 use_bias=use_bias, bias_inert=inert_bias(self.norm_type),
+                 kernel_init=self.kernel_init,
                  s2d_space=self.s2d, name="conv1")(x)
         h = nn.relu(apply_norm_s2d(self.norm_type, h, self.features, self.s2d))
         h = Conv(self.features * 2, k3, strides=2, padding=1, use_bias=use_bias,
+                 bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, s2d_space=self.s2d,
                  name="conv2")(h)
         return nn.relu(apply_norm_s2d(self.norm_type, h, self.features * 2,
@@ -73,6 +75,7 @@ class _UpConv(nn.Module):
         k5, k3 = (5,) * self.spatial_dims, (3,) * self.spatial_dims
         h = ConvTranspose(self.features, k3, strides=2, padding=1,
                           output_padding=1, use_bias=use_bias,
+                          bias_inert=inert_bias(self.norm_type),
                           kernel_init=self.kernel_init, s2d_space=self.s2d,
                           name="convt")(x)
         h = nn.relu(apply_norm_s2d(self.norm_type, h, self.features, self.s2d))

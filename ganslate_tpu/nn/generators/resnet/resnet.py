@@ -20,8 +20,8 @@ from flax import linen as nn
 
 from ganslate_tpu.nn.layers import (Conv, ConvTranspose, NormAct,
                                     apply_norm_s2d, get_norm_layer,
-                                    is_bias_before_norm, make_initializer,
-                                    pad_spatial)
+                                    inert_bias, is_bias_before_norm,
+                                    make_initializer, pad_spatial)
 
 
 class ResidualBlock(nn.Module):
@@ -35,16 +35,19 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         use_bias = is_bias_before_norm(self.norm_type)
+        inert = inert_bias(self.norm_type)
         k = (3,) * self.spatial_dims
         h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
-                 kernel_init=self.kernel_init, s2d_space=self.s2d, name="conv1")(x)
+                 bias_inert=inert, kernel_init=self.kernel_init,
+                 s2d_space=self.s2d, name="conv1")(x)
         if self.s2d:
             h = jax.nn.relu(apply_norm_s2d(self.norm_type, h, self.features,
                                            self.s2d))
         else:
             h = NormAct(self.norm_type, "relu")(h)
         h = Conv(self.features, k, padding=1, pad_mode=self.pad_mode, use_bias=use_bias,
-                 kernel_init=self.kernel_init, s2d_space=self.s2d, name="conv2")(h)
+                 bias_inert=inert, kernel_init=self.kernel_init,
+                 s2d_space=self.s2d, name="conv2")(h)
         h = apply_norm_s2d(self.norm_type, h, self.features, self.s2d) \
             if self.s2d else NormAct(self.norm_type)(h)
         return x + h
@@ -99,6 +102,11 @@ class ResnetGenerator(nn.Module):
         init = make_initializer(self.weight_init_type, self.weight_init_gain)
         norm = get_norm_layer(self.norm_type)
         use_bias = is_bias_before_norm(self.norm_type)
+        # Conv biases preceding instance norms are mathematically cancelled
+        # (layers.BIAS_INERT) — EXCEPT on the CUT tap path, where the raw
+        # conv output (bias included, reference encoder taps 1/4/7) is what
+        # the NCE head consumes.
+        inert = inert_bias(self.norm_type) and extract_features is None
         k3 = (3,) * self.spatial_dims
         k7 = (7,) * self.spatial_dims
 
@@ -149,16 +157,18 @@ class ResnetGenerator(nn.Module):
             # Padding lives inside the s2d conv (replicate via border cells).
             h = tap(x)
             h = tap(Conv(self.ngf, k7, padding=3, pad_mode=self.pad_mode,
-                         use_bias=use_bias, kernel_init=init, s2d_space=s2d,
+                         use_bias=use_bias, bias_inert=inert,
+                         kernel_init=init, s2d_space=s2d,
                          name="initial")(h))
         elif cells:
             h = Conv(self.ngf, k7, padding=3, pad_mode=self.pad_mode,
-                     use_bias=use_bias, kernel_init=init, to_cells=cells,
-                     name="initial")(x)
+                     use_bias=use_bias, bias_inert=inert, kernel_init=init,
+                     to_cells=cells, name="initial")(x)
         else:
             h = tap(pad_spatial(x, (3,) * self.spatial_dims, self.pad_mode))
             h = tap(Conv(self.ngf, k7, padding=0, use_bias=use_bias,
-                         kernel_init=init, name="initial")(h))
+                         bias_inert=inert, kernel_init=init,
+                         name="initial")(h))
         if cells:
             h = nn.relu(apply_norm_s2d(self.norm_type, h, self.ngf, cells))
         else:
@@ -170,7 +180,7 @@ class ResnetGenerator(nn.Module):
         for i in range(2):
             feats *= 2
             h = tap(Conv(feats, k3, strides=2, padding=1, use_bias=use_bias,
-                         kernel_init=init, s2d_space=s2d,
+                         bias_inert=inert, kernel_init=init, s2d_space=s2d,
                          from_cells=cells if i == 0 else 0,
                          name=f"down{i}")(h))
             h = tap(apply_norm(h, feats))
@@ -189,8 +199,8 @@ class ResnetGenerator(nn.Module):
         for i in range(2):
             feats //= 2
             h = ConvTranspose(feats, k3, strides=2, padding=1, output_padding=1,
-                              kernel_init=init, s2d_space=s2d,
-                              name=f"up{i}")(h)
+                              bias_inert=inert, kernel_init=init,
+                              s2d_space=s2d, name=f"up{i}")(h)
             if s2d:
                 h = jax.nn.relu(apply_norm(h, feats))
             else:

@@ -25,7 +25,8 @@ from ganslate_tpu.nn.attention import SelfAttentionBlock
 from ganslate_tpu.nn.invertible import InvertibleSequence
 from ganslate_tpu.nn.layers import (Conv, ConvTranspose, PReLU,
                                     apply_norm_s2d as _apply_norm,
-                                    is_bias_before_norm, make_initializer)
+                                    inert_bias, is_bias_before_norm,
+                                    make_initializer)
 from ganslate_tpu.nn.separable import SeparableConv3d, SeparableConvTranspose3d
 
 
@@ -61,6 +62,7 @@ class VnetInvBlock(nn.Module):
         use_bias = is_bias_before_norm(self.norm_type)
         conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         h = conv(self.features, 5, padding=2, use_bias=use_bias,
+                 bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, name="conv")(x)
         h = _apply_norm(self.norm_type, h, self.features, self.s2d)
         return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
@@ -80,6 +82,7 @@ class InputBlock(nn.Module):
         use_bias = is_bias_before_norm(self.norm_type)
         conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         out = conv(self.out_channels, 5, padding=2, use_bias=use_bias,
+                   bias_inert=inert_bias(self.norm_type),
                    kernel_init=self.kernel_init, name="conv1")(x)
         out = _apply_norm(self.norm_type, out, self.out_channels, self.s2d)
         # Residual channel-repeat: exact in c-major s2d space too (tiling the
@@ -103,6 +106,7 @@ class _DownConv(nn.Module):
         use_bias = is_bias_before_norm(self.norm_type)
         conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         h = conv(self.features, 2, strides=2, use_bias=use_bias,
+                 bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, name="conv")(x)
         h = _apply_norm(self.norm_type, h, self.features, self.s2d)
         return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
@@ -121,6 +125,7 @@ class _UpConv(nn.Module):
         use_bias = is_bias_before_norm(self.norm_type)
         convt = _convt(self.is_separable, self.spatial_dims, self.s2d)
         h = convt(self.features, 2, strides=2, use_bias=use_bias,
+                  bias_inert=inert_bias(self.norm_type),
                   kernel_init=self.kernel_init, name="convt")(x)
         h = _apply_norm(self.norm_type, h, self.features, self.s2d)
         return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
@@ -211,6 +216,7 @@ class OutBlock(nn.Module):
         use_bias = is_bias_before_norm(self.norm_type)
         conv = _conv(self.is_separable, self.spatial_dims, self.s2d)
         h = conv(self.in_channels, 5, padding=2, use_bias=use_bias,
+                 bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, name="conv1")(x)
         h = PReLU(self.in_channels, s2d_rn=self.s2d ** self.spatial_dims)(
             _apply_norm(self.norm_type, h, self.in_channels, self.s2d))

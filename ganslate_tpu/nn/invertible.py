@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ganslate_tpu.nn.layers import Conv, apply_norm_s2d, is_bias_before_norm
+from ganslate_tpu.nn.layers import (Conv, apply_norm_s2d, inert_bias,
+                                    is_bias_before_norm)
 
 # lax.scan unroll factor for the memory-saving coupling sequences
 # (trace-time global). unroll > 1 lets XLA fuse across coupling blocks (and
@@ -122,6 +123,7 @@ class InvResidualBlock(nn.Module):
         h = apply_norm_s2d(self.norm_type, x, self.features, self.s2d)
         h = Conv(self.features, (3,) * self.spatial_dims, padding=1,
                  pad_mode=self.pad_mode, use_bias=use_bias,
+                 bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, s2d_space=self.s2d,
                  name="conv")(h)
         h = apply_norm_s2d(self.norm_type, h, self.features, self.s2d)

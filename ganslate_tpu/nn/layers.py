@@ -54,6 +54,23 @@ _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "e
 # harnesses can flip it.
 PAD_CUSTOM_VJP = True
 
+# Honor Conv/ConvTranspose `bias_inert` (skip the bias ADD for convs whose
+# output feeds an affine-less instance norm, where a per-channel constant
+# cancels exactly: (x+b) - mean(x+b) == x - mean(x) per (sample, channel)).
+# The bias PARAMETER is still created — checkpoints, the torch importer and
+# param counts are unchanged; it simply receives a zero gradient instead of
+# the reference's ~1e-8 rounding-noise gradient (which is equally inert in
+# the function but drags a full bias-grad reduce fusion through every
+# backward pass). Module-level so A/B harnesses can flip it.
+BIAS_INERT = True
+
+
+def inert_bias(norm_type: Optional[str]) -> bool:
+    """True when a conv bias preceding this norm type is mathematically
+    cancelled (see BIAS_INERT). Only affine-less instance norm cancels;
+    'none' passes the bias through and 'batch' already drops use_bias."""
+    return norm_type == "instance"
+
 
 def pad_spatial(x: Array, pad: Sequence[int], mode: str = "zeros") -> Array:
     """Pad the spatial dims of a channels-last tensor (N, *spatial, C)."""
@@ -79,6 +96,22 @@ from functools import partial as _partial
 
 @_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _pad_spatial_ad(x: Array, pad: Tuple[int, ...], mode: str) -> Array:
+    # Hand-rolled reflect: jnp.pad(mode="reflect") lowers through a FULL-
+    # tensor lax.rev per padded axis (traced at 0.8 ms each on the
+    # CycleGAN-256 stem pads) — reversing the p-row border strip first makes
+    # the rev negligible and leaves one concat per axis, which the pad must
+    # write anyway.
+    if mode == "reflect":
+        for axis, p in enumerate(pad):
+            ax = axis + 1
+            if p == 0:
+                continue
+            n = x.shape[ax]
+            lo = jax.lax.rev(jax.lax.slice_in_dim(x, 1, p + 1, axis=ax), [ax])
+            hi = jax.lax.rev(jax.lax.slice_in_dim(x, n - p - 1, n - 1,
+                                                  axis=ax), [ax])
+            x = jnp.concatenate([lo, x, hi], axis=ax)
+        return x
     cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
     return jnp.pad(x, cfg, mode=_PAD_MODES[mode])
 
@@ -87,7 +120,75 @@ def _pad_spatial_fwd(x, pad, mode):
     return _pad_spatial_ad(x, pad, mode), None
 
 
+# One-pass N-D pad backward (nested concat) vs per-axis passes: the
+# per-axis form materializes the full gradient once PER PADDED AXIS because
+# each axis's segment sums feed the next axis's slices; the nested form has
+# no cross-axis data dependence, so XLA fuses the whole segment grid into
+# ONE output write. Module-level so A/B harnesses can flip it.
+PAD_BWD_ONEPASS = True
+
+
+def _pad_bwd_axis_segments(n: int, p: int, mode: str):
+    """Per-axis transpose plan: list of (core_lo, core_hi, terms) where each
+    term (src_lo, src_hi, kind) reads the PADDED gradient; kind in
+    {'id', 'flip', 'sum'}. Core index i sits at padded index i + p."""
+    m = n - 2 * p
+    if p == 0:
+        return [(0, m, [(0, m, "id")])]
+    if mode == "reflect":
+        # forward: padded[j<p] = core[p-j]; padded[p+m+t] = core[m-2-t]
+        return [
+            (0, 1, [(p, p + 1, "id")]),
+            (1, p + 1, [(p + 1, 2 * p + 1, "id"), (0, p, "flip")]),
+            (p + 1, m - p - 1, [(2 * p + 1, m - 1, "id")]),
+            (m - p - 1, m - 1, [(m - 1, m + p - 1, "id"),
+                                (n - p, n, "flip")]),
+            (m - 1, m, [(n - p - 1, n - p, "id")]),
+        ]
+    # replicate / edge: all border copies fold onto the edge rows
+    return [
+        (0, 1, [(p, p + 1, "id"), (0, p, "sum")]),
+        (1, m - 1, [(p + 1, n - p - 1, "id")]),
+        (m - 1, m, [(n - p - 1, n - p, "id"), (n - p, n, "sum")]),
+    ]
+
+
 def _pad_spatial_bwd(pad, mode, _, g):
+    if not PAD_BWD_ONEPASS:
+        return _pad_spatial_bwd_per_axis(pad, mode, g)
+    from itertools import product
+
+    plans = [_pad_bwd_axis_segments(g.shape[1 + a], p, mode)
+             for a, p in enumerate(pad)]
+
+    def cell(term_combo):
+        """One output block: sum over the product of per-axis terms, each a
+        static slice of the padded gradient with per-axis flip/sum."""
+        total = None
+        for combo in product(*term_combo):
+            sub = g
+            for a, (lo, hi, kind) in enumerate(combo):
+                ax = a + 1
+                sub = jax.lax.slice_in_dim(sub, lo, hi, axis=ax)
+                if kind == "flip":
+                    sub = jax.lax.rev(sub, [ax])
+                elif kind == "sum":
+                    sub = jnp.sum(sub, axis=ax, keepdims=True)
+            total = sub if total is None else total + sub
+        return total
+
+    def build(a, chosen):
+        if a == len(plans):
+            return cell(chosen)
+        parts = [build(a + 1, chosen + [seg_terms])
+                 for _, _, seg_terms in plans[a]]
+        return (jnp.concatenate(parts, axis=a + 1) if len(parts) > 1
+                else parts[0])
+
+    return (build(0, []),)
+
+
+def _pad_spatial_bwd_per_axis(pad, mode, g):
     # Reflect/replicate pads commute across axes, so the transpose can
     # consume one axis at a time in any order: crop that axis's borders and
     # accumulate them where the forward read them from (one concat per
@@ -205,12 +306,23 @@ class Conv(nn.Module):
     padding: Union[int, Sequence[int]] = 0
     pad_mode: str = "zeros"
     use_bias: bool = True
+    # The conv output feeds an affine-less instance norm, so the bias add is
+    # mathematically cancelled: create the parameter (checkpoint/importer
+    # parity) but skip the add and its backward reduce (see BIAS_INERT).
+    bias_inert: bool = False
     feature_group_count: int = 1
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     s2d_factor: int = 0
     s2d_space: int = 0
     to_cells: int = 0
     from_cells: int = 0
+
+    def _add_bias(self, y: Array, bias: Optional[Array], rn: int = 1) -> Array:
+        if bias is None or (self.bias_inert and BIAS_INERT):
+            return y
+        if rn > 1:
+            bias = jnp.repeat(bias, rn)
+        return y + bias.astype(y.dtype)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -245,7 +357,7 @@ class Conv(nn.Module):
                 if any(p for p, _ in lax_padding) else x
             if s2d_applicable(xp.shape[1:-1], k, strides, self.s2d_factor):
                 y = s2d_conv(xp, kernel, self.s2d_factor)
-                return y + bias.astype(y.dtype) if bias is not None else y
+                return self._add_bias(y, bias)
 
         from ganslate_tpu.ops.batch_fold import conv_batch_folded, foldable
         if foldable(x.shape, strides, lax_padding, k[0]):
@@ -260,7 +372,7 @@ class Conv(nn.Module):
                 x, kernel, strides, lax_padding,
                 feature_group_count=self.feature_group_count,
                 dimension_numbers=dn)
-        return y + bias.astype(y.dtype) if bias is not None else y
+        return self._add_bias(y, bias)
 
     def _call_s2d(self, x: Array, n, k, pad, strides) -> Array:
         """s2d execution space: canonical params, transformed math.
@@ -336,9 +448,7 @@ class Conv(nn.Module):
                 (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
             y = jax.lax.conv_general_dilated(x, kt, conv_strides, pads,
                                              dimension_numbers=dn)
-        if bias is not None:
-            y = y + jnp.repeat(bias, rn).astype(y.dtype)
-        return y
+        return self._add_bias(y, bias, rn)
 
     def _call_to_cells(self, x: Array, n, k, pad, strides) -> Array:
         """Plain input -> c-major cell output (ops/s2d_space.py boundary).
@@ -365,14 +475,23 @@ class Conv(nn.Module):
             x = pad_spatial(x, pad, self.pad_mode)
         kt = _cached_kernel_transform(
             self, lambda: sp.transform_to_cells_kernel(kernel.astype(x.dtype), r))
-        spatial = "DHW"[3 - n:]
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
-        y = jax.lax.conv_general_dilated(x, kt, (r,) * n, "VALID",
-                                         dimension_numbers=dn)
-        if bias is not None:
-            y = y + jnp.repeat(bias, r ** n).astype(y.dtype)
-        return y
+        if (sp.TO_CELLS_CELL_GRAD
+                and all((ki - 1) % r == 0 for ki in k)
+                and all(x.shape[1 + i] % r == 0 for i in range(n))):
+            # Cell-space data gradient: the stem convs this path serves have
+            # 3 input channels, so the default transposed-conv input grad
+            # runs at 3/128 MXU lanes (traced 3.0 ms each on CycleGAN-256);
+            # the cell form runs the same MACs at C*r^n lanes + a one-hot
+            # decode (see ops/s2d_space.py:to_cells_conv).
+            y = sp.to_cells_conv(x, kt, r)
+        else:
+            spatial = "DHW"[3 - n:]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kt.shape,
+                (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+            y = jax.lax.conv_general_dilated(x, kt, (r,) * n, "VALID",
+                                             dimension_numbers=dn)
+        return self._add_bias(y, bias, r ** n)
 
     def _call_from_cells(self, x: Array, n, k, pad, strides) -> Array:
         """c-major cell input -> plain output: a stride-r original conv
@@ -402,9 +521,7 @@ class Conv(nn.Module):
             x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
         y = jax.lax.conv_general_dilated(x, kt, (1,) * n, pads,
                                          dimension_numbers=dn)
-        if bias is not None:
-            y = y + bias.astype(y.dtype)
-        return y
+        return self._add_bias(y, bias)
 
 
 class ConvTranspose(nn.Module):
@@ -431,9 +548,13 @@ class ConvTranspose(nn.Module):
     padding: Union[int, Sequence[int]] = 0
     output_padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
+    # See Conv.bias_inert / BIAS_INERT.
+    bias_inert: bool = False
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     polyphase: Optional[bool] = None
     s2d_space: int = 0
+
+    _add_bias = Conv._add_bias
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -471,7 +592,7 @@ class ConvTranspose(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
-            y = y + bias.astype(y.dtype)
+            y = self._add_bias(y, bias)
         return y
 
     def _call_s2d(self, x: Array, n, k, s, p, op) -> Array:
@@ -553,7 +674,7 @@ class ConvTranspose(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
-            y = y + jnp.repeat(bias, rn).astype(y.dtype)
+            y = self._add_bias(y, bias, rn)
         return y
 
 

@@ -24,6 +24,10 @@ class SeparableConv3d(nn.Module):
     strides: Union[int, Sequence[int]] = 1
     padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
+    # Only the LAST factor's bias feeds the following norm directly (the
+    # first factor's bias passes through the second conv's zero padding, so
+    # it does NOT cancel); see layers.Conv.bias_inert.
+    bias_inert: bool = False
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     s2d_space: int = 0  # both factors run in the s2d execution space
 
@@ -38,6 +42,7 @@ class SeparableConv3d(nn.Module):
                  name="depthwise")(x)
         return Conv(self.features, (k[0], 1, 1), strides=(s[0], 1, 1),
                     padding=(p[0], 0, 0), use_bias=self.use_bias,
+                    bias_inert=self.bias_inert,
                     kernel_init=self.kernel_init, s2d_space=self.s2d_space,
                     name="pointwise")(h)
 
@@ -48,6 +53,8 @@ class SeparableConvTranspose3d(nn.Module):
     strides: Union[int, Sequence[int]] = 1
     padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
+    # See SeparableConv3d.bias_inert: last factor only.
+    bias_inert: bool = False
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     s2d_space: int = 0  # both factors run in the s2d execution space
 
@@ -62,5 +69,6 @@ class SeparableConvTranspose3d(nn.Module):
                           s2d_space=self.s2d_space, name="depthwise")(x)
         return ConvTranspose(self.features, (k[0], 1, 1), strides=(s[0], 1, 1),
                              padding=(p[0], 0, 0), use_bias=self.use_bias,
+                             bias_inert=self.bias_inert,
                              kernel_init=self.kernel_init,
                              s2d_space=self.s2d_space, name="pointwise")(h)

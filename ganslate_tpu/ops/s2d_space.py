@@ -278,6 +278,17 @@ def broadcast_per_channel(vec: jax.Array, rn: int) -> jax.Array:
     return jnp.repeat(vec, rn)
 
 
+# Split the stat reductions from the producing conv's fusion (an
+# optimization_barrier on the activations before the sums). When fused, XLA
+# emits a (conv, sum, sumsq) TUPLE fusion whose layout assignment prefers
+# the reduction-friendly layout and then materializes a full-activation
+# layout copy for the next conv (traced: ~74 ms/call on the 28-window BRaTS
+# forward, docs/benchmarks.md). Split, the conv output materializes ONCE in
+# the consumer conv's layout and the stats pay one extra read instead of a
+# read+write round-trip. Module-level so A/B harnesses can flip it.
+STAT_SPLIT = False
+
+
 def group_instance_norm(x: jax.Array, channels: int, rn: int,
                         epsilon: float = 1e-5, activation: str = "none",
                         negative_slope: float = 0.2) -> jax.Array:
@@ -291,6 +302,8 @@ def group_instance_norm(x: jax.Array, channels: int, rn: int,
     spatial_axes = tuple(range(1, x.ndim - 1))
     n_elems = rn * int(np.prod([x.shape[i] for i in spatial_axes]))
 
+    if STAT_SPLIT:
+        x = jax.lax.optimization_barrier(x)
     x32 = x.astype(jnp.float32)
     s = jnp.sum(x32, axis=spatial_axes)                 # (N, C*rn)
     ss = jnp.sum(jnp.square(x32), axis=spatial_axes)
@@ -506,6 +519,115 @@ def transform_to_cells_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
     kr = kr.transpose(perm)
     c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
     return kr.reshape(*kr.shape[:n], c_in, c_out * r ** n)
+
+
+# Cell-space data gradient for to-cells convs (see `to_cells_conv`):
+# compute dL/d(plain input) as a conv PRODUCING INPUT CELLS (C*r^n lanes)
+# followed by the one-hot decode, instead of XLA's default transposed conv
+# producing C lanes directly. The stem convs these serve have C=3 input
+# channels — 3/128 MXU output lanes — so their data-grad convs run at ~2% of
+# peak (traced 3.0 ms each on the fused CycleGAN-256 step); the cell form
+# runs the same MACs at 12 lanes + a trivial one-hot interleave the MXU
+# writes at full rate. Module-level so A/B harnesses can flip it.
+TO_CELLS_CELL_GRAD = True
+
+
+@lru_cache(maxsize=None)
+def _to_cells_grad_plan(k: int, r: int) \
+        -> Tuple[np.ndarray, np.ndarray, int]:
+    """Per-dim gather plan for `transform_to_cells_grad_kernel`.
+
+    Derivation (1-D): forward y[j,(o,p)] = sum_a x[r j + a, c] kt[a, c, (o,p)]
+    with kt[a, c, (o,p)] = W[a - p, c, o] (ops above). Then
+    dx[m, c] = sum_{j,a: r j + a = m} g[j,(o,p)] kt[a, c, (o,p)]; folding dx
+    into r-cells (m = r q + d) gives a = r(q - j) + d, i.e. a STRIDE-1 conv
+    over the grad cells with tap w = q - j in [0, w_max],
+    w_max = floor((k + r - 2)/r):  K[w, (o,p), (c,d)] = kt[r w + d, c, (o,p)].
+    lax-correlation index v = w_max - w makes it y[q] = sum_v g[q + v - lo]
+    with lo = w_max. Returns (u, valid, w_max) with u shaped (w_max+1, r):
+    u[v, d] = r (w_max - v) + d, valid iff u < ka."""
+    ka = k + r - 1
+    w_max = (k + r - 2) // r
+    v = np.arange(w_max + 1)[:, None]
+    d = np.arange(r)[None, :]
+    u = r * (w_max - v) + d
+    valid = u < ka
+    return np.clip(u, 0, ka - 1), valid, w_max
+
+
+def transform_to_cells_grad_kernel(kt: jax.Array, r: int = 2) -> jax.Array:
+    """(ka.., C, O*r^n) to-cells kernel -> (A.., O*r^n, C*r^n) data-grad
+    kernel, both channel sides c-major. Apply as a stride-1 conv over the
+    grad cells with per-dim padding (w_max, (k-1)/r); the result is the
+    INPUT-cell gradient, decoded to the plain input by `decode`.
+    Requires (k - 1) % r == 0 per dim (else the pad_hi cell count is
+    fractional — callers fall back to the default transposed-conv grad)."""
+    n = kt.ndim - 2
+    kr = kt
+    for i in range(n):
+        ka = kt.shape[i]
+        k = ka - (r - 1)
+        u, valid, _ = _to_cells_grad_plan(k, r)
+        ax = 2 * i
+        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1] = u.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+    # (v1,d1,...,vn,dn,C,O*rn) -> (v1..vn, O*rn, C, d1..dn)
+    perm = ([2 * i for i in range(n)] + [2 * n + 1, 2 * n]
+            + [2 * i + 1 for i in range(n)])
+    kr = kr.transpose(perm)
+    c_in, orn = kt.shape[n], kt.shape[n + 1]
+    return kr.reshape(*kr.shape[:n], orn, c_in * r ** n)
+
+
+def _to_cells_raw_conv(x: jax.Array, kt: jax.Array, r: int) -> jax.Array:
+    spatial = "DHW"[3 - (x.ndim - 2):]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    return jax.lax.conv_general_dilated(x, kt, (r,) * (x.ndim - 2), "VALID",
+                                        dimension_numbers=dn)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def to_cells_conv(x: jax.Array, kt: jax.Array, r: int) -> jax.Array:
+    """The to-cells boundary conv (plain padded input -> c-major cells) with
+    a cell-space data gradient (see TO_CELLS_CELL_GRAD). Forward identical
+    to the raw stride-r VALID conv; kernel grad is XLA's standard
+    correlation; only the input grad is re-expressed."""
+    return _to_cells_raw_conv(x, kt, r)
+
+
+def _tcc_fwd(x, kt, r):
+    return _to_cells_raw_conv(x, kt, r), (x, kt)
+
+
+def _tcc_bwd(r, res, g):
+    x, kt = res
+    n = x.ndim - 2
+    _, kvjp = jax.vjp(lambda kk: _to_cells_raw_conv(x, kk, r), kt)
+    (dkt,) = kvjp(g)
+
+    kg = transform_to_cells_grad_kernel(kt, r)
+    pads = []
+    for i in range(n):
+        k = kt.shape[i] - (r - 1)
+        _, _, w_max = _to_cells_grad_plan(k, r)
+        pads.append((w_max, (k - 1) // r))
+    spatial = "DHW"[3 - n:]
+    dn = jax.lax.conv_dimension_numbers(
+        g.shape, kg.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    dxc = jax.lax.conv_general_dilated(g, kg, (1,) * n, pads,
+                                       dimension_numbers=dn)
+    dx = decode(dxc, x.shape[-1], r).astype(x.dtype)
+    return dx, dkt
+
+
+to_cells_conv.defvjp(_tcc_fwd, _tcc_bwd)
 
 
 @lru_cache(maxsize=None)

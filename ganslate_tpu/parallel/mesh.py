@@ -133,11 +133,16 @@ def replicate_to_mesh(tree, mesh: Optional[Mesh] = None):
     return jax.tree_util.tree_map(place, tree)
 
 
-def shard_batch(batch, mesh: Optional[Mesh] = None):
+def shard_batch(batch, mesh: Optional[Mesh] = None,
+                stacked_steps: bool = False):
     """Place a host batch (pytree of numpy arrays) onto the mesh, sharded on
     dim 0 across ``data``. In a multi-controller job every process passes its
     LOCAL share of the global batch (the loader already yields local shares);
-    the global array is assembled from per-process shards over ICI/DCN."""
+    the global array is assembled from per-process shards over ICI/DCN.
+
+    ``stacked_steps``: leaves carry a leading step axis (k, B, ...) from the
+    trainer's multi-step dispatch — the step axis replicates and the BATCH
+    axis (dim 1) shards over ``data``."""
     mesh = mesh or get_mesh()
     # Divisibility is against the DATA axis (not the whole mesh — extra
     # model/spatial axes replicate the batch), and each process holds
@@ -157,10 +162,15 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
                 return x
         else:
             x = np.asarray(x)
-        sharded = NamedSharding(mesh, _leaf_batch_spec(mesh, np.shape(x)))
-        # Batches that don't divide the data axis (e.g. single-sample
-        # deployment inference) are replicated instead of sharded.
-        divisible = np.ndim(x) > 0 and x.shape[0] % n_local == 0
+        if stacked_steps:
+            spec = _leaf_batch_spec(mesh, np.shape(x)[1:])
+            sharded = NamedSharding(mesh, P(None, *spec))
+            divisible = np.ndim(x) > 1 and x.shape[1] % n_local == 0
+        else:
+            sharded = NamedSharding(mesh, _leaf_batch_spec(mesh, np.shape(x)))
+            # Batches that don't divide the data axis (e.g. single-sample
+            # deployment inference) are replicated instead of sharded.
+            divisible = np.ndim(x) > 0 and x.shape[0] % n_local == 0
         if multiprocess:
             if divisible:
                 return jax.make_array_from_process_local_data(sharded, x)

@@ -1,0 +1,121 @@
+"""End-to-end sliding-window SERVING benchmark: volumes start and end as
+host numpy arrays (the reference's Inferer loop pays the same transfers,
+/root/reference/ganslate/engines/inferer.py:35-62). Measures three modes:
+
+1. device-resident (the bench.py number — upper bound),
+2. naive serial host-in/host-out (put -> compute -> get per volume),
+3. pipelined host-in/host-out: JAX dispatch is async, so enqueueing
+   volume i+1's H2D+compute while volume i's D2H drains overlaps
+   transfer with compute without threads.
+
+Prints a JSON line with all three vols/s plus measured H2D/D2H rates so
+the transfer share is auditable (this environment reaches the chip through
+a remote relay; on-host TPU serving pays PCIe-class rates instead).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(n_vols=8, pipeline_depth=2):
+    import jax
+    import jax.numpy as jnp
+
+    from ganslate_tpu.nn.generators import Vnet3D
+    from ganslate_tpu.nn.layers import precompute_s2d_kernels
+    from ganslate_tpu.utils.sliding_window_inferer import SlidingWindowInferer
+
+    roi = (32, 176, 176)
+    vol_shape = (2, 155, 240, 240, 1)   # 2 volumes per call (bench.py)
+
+    model = Vnet3D(in_channels=1, out_channels=1,
+                   down_blocks=(2, 2, 3), up_blocks=(3, 3, 3),
+                   use_memory_saving=False, use_inverse=False,
+                   use_s2d_exec=True)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, *roi, 1), jnp.bfloat16))["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    cache = precompute_s2d_kernels(model, params,
+                                   jnp.zeros((1, *roi, 1), jnp.bfloat16))
+    pc = {"params": params, "s2d_kernels": cache}
+
+    def network(p, x):
+        return model.apply(
+            {"params": p["params"], "s2d_kernels": p["s2d_kernels"]},
+            x.astype(jnp.bfloat16))
+
+    inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=28,
+                                   overlap=0.25, mode="gaussian")
+    rng = np.random.default_rng(0)
+    host_vols = [rng.uniform(-1, 1, vol_shape).astype(np.float32)
+                 for _ in range(n_vols)]
+    vols_per_call = vol_shape[0]
+
+    # Compile + warm.
+    dev0 = jax.device_put(host_vols[0])
+    out = inferer(dev0, network, pc)
+    float(jax.device_get(out.ravel()[0]))
+
+    # --- transfer rate probes (through whatever transport backs the chip).
+    nbytes = host_vols[0].nbytes
+    t0 = time.perf_counter()
+    d = jax.device_put(host_vols[1])
+    d.block_until_ready()
+    h2d_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = np.asarray(out)
+    d2h_s = time.perf_counter() - t0
+    out_bytes = out.size * out.dtype.itemsize
+
+    # --- mode 1: device-resident (what bench.py times).
+    t0 = time.perf_counter()
+    for _ in range(n_vols):
+        out = inferer(dev0, network, pc)
+        float(jax.device_get(out.ravel()[0]))
+    dev_s = (time.perf_counter() - t0) / n_vols
+    dev_vps = vols_per_call / dev_s
+
+    # --- mode 2: serial host->host.
+    t0 = time.perf_counter()
+    for hv in host_vols:
+        res = np.asarray(inferer(jax.device_put(hv), network, pc))
+    serial_s = (time.perf_counter() - t0) / n_vols
+    serial_vps = vols_per_call / serial_s
+    del res
+
+    # --- mode 3: pipelined host->host (async dispatch overlap).
+    t0 = time.perf_counter()
+    inflight = []
+    results = []
+    for hv in host_vols:
+        inflight.append(inferer(jax.device_put(hv), network, pc))
+        if len(inflight) > pipeline_depth:
+            results.append(np.asarray(inflight.pop(0)))
+    while inflight:
+        results.append(np.asarray(inflight.pop(0)))
+    pipe_s = (time.perf_counter() - t0) / n_vols
+    pipe_vps = vols_per_call / pipe_s
+    assert len(results) == n_vols and results[0].shape[0] == vols_per_call
+
+    print(json.dumps({
+        "device_resident_vols_per_sec": round(dev_vps, 3),
+        "serial_host_vols_per_sec": round(serial_vps, 3),
+        "pipelined_host_vols_per_sec": round(pipe_vps, 3),
+        "pipeline_depth": pipeline_depth,
+        "h2d_gbps": round(nbytes / h2d_s / 1e9, 3),
+        "d2h_gbps": round(out_bytes / d2h_s / 1e9, 3),
+        "in_mb_per_call": round(nbytes / 1e6, 1),
+        "out_mb_per_call": round(out_bytes / 1e6, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
