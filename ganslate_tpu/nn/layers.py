@@ -94,13 +94,56 @@ def pad_spatial(x: Array, pad: Sequence[int], mode: str = "zeros") -> Array:
 from functools import partial as _partial
 
 
+# One-pass pad FORWARD (nested concat over 3^n source segments, every leaf
+# a slice/flip of the ORIGINAL x) vs sequential per-axis concats: the
+# per-axis form materializes the full tensor once PER PADDED AXIS because
+# each axis's concat reads the previous axis's result; the nested form has
+# no cross-axis data dependence, so XLA fuses the whole segment grid into
+# ONE output write (the forward twin of PAD_BWD_ONEPASS below, which
+# measured +5.3% on the fused CycleGAN-256 step). Reflect and replicate are
+# separable — padded[i, j] = x[refl(i), refl(j)] — so corner segments are
+# just doubly-flipped slices. Module-level so A/B harnesses can flip it.
+PAD_FWD_ONEPASS = True
+
+# Rank-default for ConvTranspose(polyphase=None) in 2D: the dilated form won
+# the r2 A/B (4.6% inside the fused step), but its KERNEL gradient reverses
+# the full output-grad tensor (traced 0.82 ms x4 on CycleGAN-256 up convs) —
+# re-measure per XLA version via tools/ab_train_interleaved.py. 3D always
+# defaults to polyphase (measured 27% faster grads).
+POLYPHASE_2D_DEFAULT = False
+
+
 @_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _pad_spatial_ad(x: Array, pad: Tuple[int, ...], mode: str) -> Array:
-    # Hand-rolled reflect: jnp.pad(mode="reflect") lowers through a FULL-
-    # tensor lax.rev per padded axis (traced at 0.8 ms each on the
+    if mode in ("reflect", "replicate", "edge") and PAD_FWD_ONEPASS:
+        def border(sub, ax, p, n_ax, side):
+            if mode == "reflect":
+                lo_i, hi_i = (1, p + 1) if side == 0 else (n_ax - p - 1,
+                                                           n_ax - 1)
+                return jax.lax.rev(
+                    jax.lax.slice_in_dim(sub, lo_i, hi_i, axis=ax), [ax])
+            edge_i = 0 if side == 0 else n_ax - 1
+            return jnp.repeat(
+                jax.lax.slice_in_dim(sub, edge_i, edge_i + 1, axis=ax),
+                p, axis=ax)
+
+        def build(a, sub):
+            if a == len(pad):
+                return sub
+            ax, p = a + 1, pad[a]
+            if p == 0:
+                return build(a + 1, sub)
+            n_ax = sub.shape[ax]
+            return jnp.concatenate(
+                [build(a + 1, border(sub, ax, p, n_ax, 0)),
+                 build(a + 1, sub),
+                 build(a + 1, border(sub, ax, p, n_ax, 1))], axis=ax)
+
+        return build(0, x)
+    # Hand-rolled reflect (fallback): jnp.pad(mode="reflect") lowers through
+    # a FULL-tensor lax.rev per padded axis (traced at 0.8 ms each on the
     # CycleGAN-256 stem pads) — reversing the p-row border strip first makes
-    # the rev negligible and leaves one concat per axis, which the pad must
-    # write anyway.
+    # the rev negligible and leaves one concat per axis.
     if mode == "reflect":
         for axis, p in enumerate(pad):
             ax = axis + 1
@@ -567,7 +610,8 @@ class ConvTranspose(nn.Module):
         if self.s2d_space > 1:
             return self._call_s2d(x, n, k, s, p, op)
 
-        use_polyphase = self.polyphase if self.polyphase is not None else n == 3
+        use_polyphase = (self.polyphase if self.polyphase is not None
+                         else n == 3 or (n == 2 and POLYPHASE_2D_DEFAULT))
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_features, self.features), jnp.float32)
@@ -576,19 +620,30 @@ class ConvTranspose(nn.Module):
                 polyphase_conv_transpose)
             y = polyphase_conv_transpose(x, kernel.astype(x.dtype), s, p, op)
         else:
-            pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(n)]
-            spatial = "DHW"[3 - n:]
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, kernel.shape,
-                (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
-            y = jax.lax.conv_general_dilated(
-                x, kernel.astype(x.dtype),
-                window_strides=(1,) * n,
-                padding=pads,
-                lhs_dilation=s,
-                rhs_dilation=(1,) * n,
-                dimension_numbers=dn,
-            )
+            from ganslate_tpu.ops import transpose_grad as tg
+            if tg.TRANSPOSE_CUSTOM_GRAD:
+                # Reverse-free gradients: XLA's autodiff of the lhs-dilated
+                # form reverses the FULL output gradient to orient the
+                # kernel-grad correlation (0.82 ms x4 traced on
+                # CycleGAN-256); the custom vjp shifts padding instead and
+                # reverses only the (k.., C, O) kernel for the data grad.
+                y = tg.conv_transpose_dilated(x, kernel.astype(x.dtype),
+                                              s, p, op)
+            else:
+                pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i])
+                        for i in range(n)]
+                spatial = "DHW"[3 - n:]
+                dn = jax.lax.conv_dimension_numbers(
+                    x.shape, kernel.shape,
+                    (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+                y = jax.lax.conv_general_dilated(
+                    x, kernel.astype(x.dtype),
+                    window_strides=(1,) * n,
+                    padding=pads,
+                    lhs_dilation=s,
+                    rhs_dilation=(1,) * n,
+                    dimension_numbers=dn,
+                )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
@@ -666,11 +721,20 @@ class ConvTranspose(nn.Module):
             raise NotImplementedError(
                 f"s2d execution space: unsupported transpose geometry k={k} "
                 f"s={s} p={p} op={op}")
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
-        y = jax.lax.conv_general_dilated(
-            x, kt, (1,) * n, pads, lhs_dilation=lhs_dil,
-            dimension_numbers=dn)
+        from ganslate_tpu.ops import transpose_grad as tg
+        if tg.TRANSPOSE_CUSTOM_GRAD:
+            # Reverse-free gradients (see ops/transpose_grad.py) — the s2d
+            # up convs are lhs-dilated too, so their kernel grads otherwise
+            # reverse the full cell-grid gradient.
+            y = tg.dilated_conv_transpose(x, kt, tuple(lhs_dil),
+                                          tuple(tuple(pq) for pq in pads))
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kt.shape,
+                (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+            y = jax.lax.conv_general_dilated(
+                x, kt, (1,) * n, pads, lhs_dilation=lhs_dil,
+                dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)

@@ -132,6 +132,21 @@ def test_tester_engine_runs_from_checkpoint(experiment):
         "dataset": dataset,
         "metrics": {"ssim": True, "psnr": True, "save_to_csv": True},
     }
+
+    # FID through the REAL engine path when torch is importable: weights
+    # come from the in-repo torchvision mirror (tests/torch_inception.py),
+    # exercising the .pth load -> flax import -> streaming feature merge.
+    try:
+        import torch
+        from .torch_inception import InceptionV3 as TorchInceptionV3
+        fid_weights = output_dir.parent / "inception_v3.pth"
+        if not fid_weights.exists():
+            torch.save(TorchInceptionV3().state_dict(), str(fid_weights))
+        raw_test["metrics"]["fid"] = True
+        raw_test["metrics"]["fid_weights"] = str(fid_weights)
+    except ImportError:
+        fid_weights = None
+
     test_conf = init_config(
         Conf.create({"train": conf.train.to_container(resolve=False),
                      "test": raw_test}),
@@ -143,3 +158,7 @@ def test_tester_engine_runs_from_checkpoint(experiment):
     assert csvs, "tester did not write the metrics CSV"
     text = csvs[0].read_text()
     assert "ssim" in text.lower() and "psnr" in text.lower()
+    if fid_weights is not None:
+        log_text = (output_dir / "test_log.txt").read_text()
+        assert "fid" in log_text.lower(), \
+            "engine-path FID did not reach the test log"

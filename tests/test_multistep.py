@@ -81,6 +81,37 @@ def test_multi_step_tail_chunk():
     assert step == 3, step
 
 
+@pytest.mark.parametrize("n,s,p,op,k,xsz", [(2, 2, 1, 1, 3, 8),
+                                            (2, 2, 0, 0, 2, 6),
+                                            (2, 3, 1, 2, 5, 4),
+                                            (3, 2, 1, 1, 3, 5),
+                                            (1, 2, 2, 1, 4, 7)])
+def test_convtranspose_grads_exact(n, s, p, op, k, xsz):
+    """ops/transpose_grad.py reverse-free gradients == jax.vjp of the raw
+    lhs-dilated conv, bit-exact in f32 (same contractions, reordered)."""
+    from ganslate_tpu.ops import transpose_grad as tg
+
+    rng = np.random.default_rng(0)
+    c, o = 5, 7
+    s_, p_, op_, k_ = (s,) * n, (p,) * n, (op,) * n, (k,) * n
+    x = jnp.asarray(rng.normal(size=(2, *([xsz] * n), c)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(*k_, c, o)).astype(np.float32))
+    pads = tuple((k - 1 - p, k - 1 - p + op) for _ in range(n))
+
+    y0, vjp0 = jax.vjp(lambda a, b: tg._raw(a, b, s_, pads), x, kern)
+    g = jnp.asarray(rng.normal(size=y0.shape).astype(np.float32))
+    dx0, dk0 = vjp0(g)
+    y1, vjp1 = jax.vjp(
+        lambda a, b: tg.dilated_conv_transpose(a, b, s_, pads), x, kern)
+    dx1, dk1 = vjp1(g)
+
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=0)
+    np.testing.assert_allclose(np.asarray(dx0), np.asarray(dx1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk0), np.asarray(dk1),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_trainer_chunked_dispatch(tmp_path):
     """Trainer._run_chunked end-to-end: steps_per_dispatch=2 over 4 iters
     through the REAL Trainer (loader batching, chunk-boundary logging,

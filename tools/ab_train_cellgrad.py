@@ -12,13 +12,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(tag, cell_grad, k_dispatch=1, iters=12, segments=3):
+def run(tag, cell_grad, k_dispatch=1, pad_fwd=True, iters=12, segments=3):
     import jax
+    from ganslate_tpu.nn import layers
     from ganslate_tpu.ops import s2d_space as sp
     from ganslate_tpu.utils.builders import build_gan
     from ganslate_tpu.utils.testing import make_cyclegan_conf
 
     sp.TO_CELLS_CELL_GRAD = cell_grad
+    layers.PAD_FWD_ONEPASS = pad_fwd
     conf = make_cyclegan_conf(batch_size=16, image_size=256,
                               mixed_precision=True, n_iters=10_000)
     conf.train.gan.generator.use_cells_boundary = True
@@ -53,8 +55,9 @@ def run(tag, cell_grad, k_dispatch=1, iters=12, segments=3):
 
 
 if __name__ == "__main__":
-    run("cellgrad   #1", True)
-    run("default    #2", False)
-    run("cellgrad   #3", True)
-    run("cg+k4      #4", True, k_dispatch=4)
-    run("cg+k8      #5", True, k_dispatch=8)
+    run("all-on     #1", True)
+    run("nocellgrad #2", False)
+    run("nopadfwd   #3", True, pad_fwd=False)
+    run("all-on     #4", True)
+    run("k4         #5", True, k_dispatch=4)
+    run("k8         #6", True, k_dispatch=8)
