@@ -54,14 +54,17 @@ _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "e
 # harnesses can flip it.
 PAD_CUSTOM_VJP = True
 
-# Honor Conv/ConvTranspose `bias_inert` (skip the bias ADD for convs whose
-# output feeds an affine-less instance norm, where a per-channel constant
-# cancels exactly: (x+b) - mean(x+b) == x - mean(x) per (sample, channel)).
-# The bias PARAMETER is still created — checkpoints, the torch importer and
-# param counts are unchanged; it simply receives a zero gradient instead of
-# the reference's ~1e-8 rounding-noise gradient (which is equally inert in
-# the function but drags a full bias-grad reduce fusion through every
-# backward pass). Module-level so A/B harnesses can flip it.
+# Honor Conv/ConvTranspose `bias_inert` (stop_gradient the bias of convs
+# whose output feeds an affine-less instance norm, where a per-channel
+# constant cancels exactly: (x+b) - mean(x+b) == x - mean(x) per
+# (sample, channel)). The forward ADD is kept — dropping it measured a
+# 10.5% sliding-window regression because it was load-bearing for XLA's
+# conv+stat fusion layouts — so the forward program is byte-identical to
+# the reference's; the bias simply receives a zero gradient instead of the
+# reference's ~1e-8 rounding-noise gradient (which is equally inert in the
+# function but drags a full bias-grad reduce fusion through every backward
+# pass; +2.8% on the fused CycleGAN-256 step). Module-level so A/B
+# harnesses can flip it.
 BIAS_INERT = True
 
 
@@ -361,8 +364,17 @@ class Conv(nn.Module):
     from_cells: int = 0
 
     def _add_bias(self, y: Array, bias: Optional[Array], rn: int = 1) -> Array:
-        if bias is None or (self.bias_inert and BIAS_INERT):
+        if bias is None:
             return y
+        if self.bias_inert and BIAS_INERT:
+            # Keep the (function-inert) ADD but stop the gradient: dropping
+            # the add entirely measured a 10.5% REGRESSION on the V-Net s2d
+            # sliding window (2.59 -> 2.35 vols/s, tools/ab_sw_biasinert.py)
+            # because the add was load-bearing for XLA's conv+stat fusion
+            # layouts; stop_gradient keeps the forward program byte-identical
+            # while still deleting the backward bias-grad reduce fusions
+            # that motivated BIAS_INERT (+2.8% on the CycleGAN-256 step).
+            bias = jax.lax.stop_gradient(bias)
         if rn > 1:
             bias = jnp.repeat(bias, rn)
         return y + bias.astype(y.dtype)

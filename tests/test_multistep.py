@@ -201,28 +201,33 @@ def test_to_cells_cell_grad_exact(n, r, k, c, o, sz):
 
 @pytest.mark.parametrize("rank", [2, 3])
 def test_bias_inert_exact(rank):
-    """conv(+b) -> instance norm == conv -> instance norm for any b."""
+    """bias_inert keeps the forward BYTE-IDENTICAL (the add stays — it is
+    load-bearing for XLA fusion layouts, ops notes in nn/layers.py) and
+    zeroes the bias gradient (the reference's is ~1e-8 rounding noise that
+    drags a full backward reduce; the function is exactly bias-invariant:
+    (x+b) - mean(x+b) == x - mean(x) per (sample, channel))."""
     from ganslate_tpu.nn import layers
 
     k = (3,) * rank
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(2, *([12] * rank), 5)).astype(np.float32))
 
-    def forward(inert):
+    def forward(inert, bias):
         conv = layers.Conv(6, k, padding=1, use_bias=True, bias_inert=inert)
         params = conv.init(jax.random.key(0), x)["params"]
-        # Nonzero bias: the claim is cancellation, not zero-ness.
-        params = dict(params, bias=jnp.arange(6, dtype=jnp.float32))
+        params = dict(params, bias=bias)
         y = conv.apply({"params": params}, x)
         norm = layers.get_norm_layer("instance")()
-        return norm.init_with_output(jax.random.key(0), y)[0]
+        return jnp.sum(jnp.square(
+            norm.init_with_output(jax.random.key(0), y)[0]))
 
-    y_ref = forward(False)
-    y_inert = forward(True)
-    # The WITH-bias path loses f32 precision computing stats of (x + b)
-    # with |b| up to 5 (variance cancellation), so the two outputs agree to
-    # ~2e-5, not machine epsilon — the inert path is the more accurate one.
-    # Outputs are normalized (O(1)), so an absolute tolerance is the right
-    # gauge; tiny elements make rtol meaningless here.
-    np.testing.assert_allclose(np.asarray(y_inert), np.asarray(y_ref),
-                               rtol=0, atol=1e-4)
+    # Nonzero bias: the claim is cancellation, not zero-ness.
+    b = jnp.arange(6, dtype=jnp.float32)
+    y_ref = forward(False, b)
+    y_inert = forward(True, b)
+    np.testing.assert_array_equal(np.asarray(y_inert), np.asarray(y_ref))
+
+    # The bias gradient is exactly zero under bias_inert (vs the reference's
+    # rounding-noise gradient, which is nonzero but function-inert).
+    db = jax.grad(lambda bb: forward(True, bb))(b)
+    np.testing.assert_array_equal(np.asarray(db), np.zeros(6, np.float32))

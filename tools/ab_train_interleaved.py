@@ -13,8 +13,8 @@ import numpy as np
 
 VARIANTS = [
     # (tag, {module flag overrides applied at BUILD time})
-    ("default     ", {}),
-    ("xla-tgrad   ", {"tgrad": False}),
+    ("stopgrad-bias", {}),
+    ("full-bias    ", {"bias_inert": False}),
 ]
 
 
@@ -28,7 +28,9 @@ def build(overrides):
     from ganslate_tpu.ops import transpose_grad as tg
     sp.TO_CELLS_CELL_GRAD = overrides.get("cellgrad", True)
     layers.POLYPHASE_2D_DEFAULT = overrides.get("poly2d", False)
-    tg.TRANSPOSE_CUSTOM_GRAD = overrides.get("tgrad", True)
+    tg.TRANSPOSE_CUSTOM_GRAD = overrides.get("tgrad",
+                                             tg.TRANSPOSE_CUSTOM_GRAD)
+    layers.BIAS_INERT = overrides.get("bias_inert", True)
     conf = make_cyclegan_conf(batch_size=16, image_size=256,
                               mixed_precision=True, n_iters=10_000)
     conf.train.gan.generator.use_cells_boundary = True
@@ -43,7 +45,7 @@ def build(overrides):
     [float(jax.device_get(v)) for v in model.losses.values()]
     sp.TO_CELLS_CELL_GRAD = True
     layers.POLYPHASE_2D_DEFAULT = False
-    tg.TRANSPOSE_CUSTOM_GRAD = True
+    layers.BIAS_INERT = True
     return model
 
 

@@ -24,8 +24,11 @@ params = jax.tree_util.tree_map(
 cache = precompute_s2d_kernels(model, params, jnp.zeros((1, *roi, 1), jnp.bfloat16))
 
 def network(p, x):
+    # bf16 predictions end-to-end — MUST match bench.py's network exactly
+    # (an .astype(float32) here doubles the gather/blend bytes and inflates
+    # the copy category ~70 ms/call).
     return model.apply({"params": p["params"], "s2d_kernels": p["s2d_kernels"]},
-                       x.astype(jnp.bfloat16)).astype(jnp.float32)
+                       x.astype(jnp.bfloat16))
 
 pc = {"params": params, "s2d_kernels": cache}
 inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=28,
