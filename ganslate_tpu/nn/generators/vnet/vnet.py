@@ -48,6 +48,27 @@ def _convt(is_separable, spatial_dims, s2d=0):
                                                 s2d_space=s2d, **kw)
 
 
+# Fuse the PReLU select into the group-norm's f32 normalize pass on the
+# s2d path (PReLU(fused_norm=True) — one elementwise pass instead of
+# normalize -> cast -> select). OFF by default: measured NEUTRAL on the
+# 28-window sliding-window call (2.58 vs 2.60 vols/s — XLA already fuses
+# the select with the normalize at these sites; the orphaned
+# compare_select fusions in the trace are elsewhere, at coupling-scan
+# boundaries). Module-level so A/B harnesses can flip it.
+FUSE_NORM_PRELU = False
+
+
+def _norm_prelu(norm_type, h, feats, s2d, spatial_dims):
+    """norm + PReLU, fused into one pass in the s2d instance-norm case.
+    The PReLU module is constructed either way (same module order, same
+    name, same `slope` param path — checkpoints unchanged)."""
+    rn = s2d ** spatial_dims
+    if s2d > 1 and norm_type == "instance" and FUSE_NORM_PRELU:
+        return PReLU(feats, s2d_rn=rn, fused_norm=True)(h)
+    h = _apply_norm(norm_type, h, feats, s2d)
+    return PReLU(feats, s2d_rn=rn)(h)
+
+
 class VnetInvBlock(nn.Module):
     """Half-width residual fn inside V-Net couplings: k5 conv + norm + PReLU."""
     features: int
@@ -64,8 +85,8 @@ class VnetInvBlock(nn.Module):
         h = conv(self.features, 5, padding=2, use_bias=use_bias,
                  bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, name="conv")(x)
-        h = _apply_norm(self.norm_type, h, self.features, self.s2d)
-        return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
+        return _norm_prelu(self.norm_type, h, self.features, self.s2d,
+                           self.spatial_dims)
 
 
 class InputBlock(nn.Module):
@@ -108,8 +129,8 @@ class _DownConv(nn.Module):
         h = conv(self.features, 2, strides=2, use_bias=use_bias,
                  bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, name="conv")(x)
-        h = _apply_norm(self.norm_type, h, self.features, self.s2d)
-        return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
+        return _norm_prelu(self.norm_type, h, self.features, self.s2d,
+                           self.spatial_dims)
 
 
 class _UpConv(nn.Module):
@@ -127,8 +148,8 @@ class _UpConv(nn.Module):
         h = convt(self.features, 2, strides=2, use_bias=use_bias,
                   bias_inert=inert_bias(self.norm_type),
                   kernel_init=self.kernel_init, name="convt")(x)
-        h = _apply_norm(self.norm_type, h, self.features, self.s2d)
-        return PReLU(self.features, s2d_rn=self.s2d ** self.spatial_dims)(h)
+        return _norm_prelu(self.norm_type, h, self.features, self.s2d,
+                           self.spatial_dims)
 
 
 class DownBlock(nn.Module):
@@ -218,8 +239,8 @@ class OutBlock(nn.Module):
         h = conv(self.in_channels, 5, padding=2, use_bias=use_bias,
                  bias_inert=inert_bias(self.norm_type),
                  kernel_init=self.kernel_init, name="conv1")(x)
-        h = PReLU(self.in_channels, s2d_rn=self.s2d ** self.spatial_dims)(
-            _apply_norm(self.norm_type, h, self.in_channels, self.s2d))
+        h = _norm_prelu(self.norm_type, h, self.in_channels, self.s2d,
+                        self.spatial_dims)
         h = conv(self.out_channels, 1, kernel_init=self.kernel_init, name="conv2")(h)
         return jnp.tanh(h)
 

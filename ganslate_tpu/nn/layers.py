@@ -883,16 +883,30 @@ class PReLU(nn.Module):
     or a single shared slope when `features` is None.
 
     `s2d_rn` > 1: the input is a c-major s2d tensor with features * s2d_rn
-    lanes; the canonical per-channel slope is repeated per phase."""
+    lanes; the canonical per-channel slope is repeated per phase.
+
+    `fused_norm` (s2d only): the input is the PRE-NORM conv output — the
+    group instance norm runs inside this module with the PReLU select fused
+    into its f32 normalize expression (one elementwise pass; the standalone
+    select orphans into its own full-tensor fusion otherwise — see the
+    sliding-window trace attribution in docs/benchmarks.md). The slope
+    parameter keeps its PReLU module scope, so checkpoints are unchanged."""
     features: Optional[int] = None
     init_slope: float = 0.25
     s2d_rn: int = 0
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         shape = (self.features,) if self.features else (1,)
         slope = self.param("slope", nn.initializers.constant(self.init_slope),
                            shape, jnp.float32)
+        if self.fused_norm:
+            assert self.s2d_rn > 1 and self.features, \
+                "PReLU.fused_norm is an s2d-space path"
+            from ganslate_tpu.ops.s2d_space import group_instance_norm
+            return group_instance_norm(x, self.features, self.s2d_rn,
+                                       activation="prelu", prelu_slope=slope)
         if self.s2d_rn > 1 and self.features:
             slope = jnp.repeat(slope, self.s2d_rn)
         return jnp.where(x >= 0, x, x * slope.astype(x.dtype))

@@ -291,11 +291,18 @@ STAT_SPLIT = False
 
 def group_instance_norm(x: jax.Array, channels: int, rn: int,
                         epsilon: float = 1e-5, activation: str = "none",
-                        negative_slope: float = 0.2) -> jax.Array:
+                        negative_slope: float = 0.2,
+                        prelu_slope: Optional[jax.Array] = None) -> jax.Array:
     """InstanceNorm over (spatial, phase) per (sample, true channel) for a
     c-major s2d tensor (N, *g, C*rn) — exactly the original-space instance
     norm. Stats grouping uses 0/1 matmuls over the lane dim (no relayout);
-    computed in fp32 like nn.layers.InstanceNorm."""
+    computed in fp32 like nn.layers.InstanceNorm.
+
+    ``activation='prelu'`` applies the per-true-channel ``prelu_slope``
+    (shape (C,) or scalar (1,)) INSIDE the f32 normalize expression — one
+    elementwise pass instead of normalize -> cast -> standalone select
+    (the sliding-window trace shows orphaned compare_select fusions when
+    the select sits outside, nn/generators/vnet/vnet.py)."""
     a, b = _group_mats_np(channels, rn)
     aj = jnp.asarray(a)
     bj = jnp.asarray(b)
@@ -317,6 +324,12 @@ def group_instance_norm(x: jax.Array, channels: int, rn: int,
         y = jnp.maximum(y, 0.0)
     elif activation == "leaky_relu":
         y = jnp.where(y >= 0, y, y * negative_slope)
+    elif activation == "prelu":
+        slope = prelu_slope.astype(jnp.float32)
+        if slope.shape[0] == channels:
+            slope = jnp.repeat(slope, rn)
+        y = jnp.where(y >= 0, y, y * slope.reshape(
+            (1,) * (x.ndim - 1) + (-1,)))
     return y.astype(x.dtype)
 
 
