@@ -28,6 +28,24 @@ class TrainCheckpointingConfig(base.CheckpointingConfig):
 
 
 @dataclass
+class PerfConfig:
+    """Optional overrides for the framework perf flags (ganslate_tpu/flags.py
+    has the defaults, measured deltas, and scoping rules). Fields left at
+    None keep the framework default; `build_gan` applies the section via
+    `flags.apply_config` before tracing the train step, so YAMLs pin only
+    what they care about (e.g. `train.perf.bias_inert: false`)."""
+    bias_inert: Optional[bool] = None
+    pad_custom_vjp: Optional[bool] = None
+    pad_fwd_onepass: Optional[bool] = None
+    polyphase_2d: Optional[bool] = None
+    transpose_custom_grad: Optional[bool] = None
+    fused_d_forward: Optional[bool] = None
+    paired_apply: Optional[bool] = None
+    scan_unroll: Optional[int] = None
+    plain_unroll_full: Optional[bool] = None
+
+
+@dataclass
 class TrainConfig(base.BaseEngineConfig):
     # -------- overriding BaseEngineConfig defaults --------
     output_dir: str = MISSING
@@ -48,6 +66,9 @@ class TrainConfig(base.BaseEngineConfig):
 
     seed: Optional[int] = None
     metrics: TrainMetricsConfig = field(default_factory=TrainMetricsConfig)
+
+    # Perf-flag overrides (see PerfConfig / ganslate_tpu/flags.py).
+    perf: PerfConfig = field(default_factory=PerfConfig)
 
     # Multi-step dispatch (beyond-reference, TPU-native): run this many
     # train steps per device dispatch — the trainer stacks that many loader

@@ -41,17 +41,13 @@ from flax import struct
 
 from ganslate_tpu.parallel import get_mesh, replicate_to_mesh, shard_batch
 
-# Batched real/fake discriminator forwards (see `apply_batched`);
-# module-level so A/B harnesses can flip it.
-FUSED_D_FORWARD = True
-# Paired-symmetric network execution (see `apply_paired`); module-level so
-# A/B harnesses can flip it. OFF by default: measured a 10% REGRESSION on
-# the fused CycleGAN-256 step (71.5 -> 64.5 img/s, tools/ab_train_paired.py)
-# — XLA lowers the vmapped stacked-weights convs to grouped convs that run
-# slower than two separate full-lane convs. Kept because the fallback
-# structure documents the experiment and the flag lets future XLA versions
-# be re-measured in one line.
-PAIRED_APPLY = False
+# Perf switches read here (fused_d_forward: batched real/fake D forwards,
+# see `apply_batched`; paired_apply: paired-symmetric network execution,
+# see `apply_paired` — OFF by default, measured a 10% REGRESSION on the
+# fused CycleGAN-256 step because XLA lowers vmapped stacked-weight convs
+# to slower grouped convs) live on the single flags surface:
+# ganslate_tpu/flags.py.
+from ganslate_tpu.flags import FLAGS
 from ganslate_tpu.utils import communication
 from ganslate_tpu.utils.metrics.train_metrics import TrainingMetrics
 
@@ -189,8 +185,8 @@ class BaseGAN(ABC):
         through `module` exactly? (See `apply_batched` for the contract.)"""
         declared = getattr(module, "batch_fusable", None)
         if declared is not None:
-            return FUSED_D_FORWARD and bool(declared)
-        return (FUSED_D_FORWARD
+            return FLAGS.fused_d_forward and bool(declared)
+        return (FLAGS.fused_d_forward
                 and getattr(module, "norm_type", None) is not None
                 and module.norm_type != "batch"
                 and not getattr(module, "use_dropout", False)
@@ -200,7 +196,7 @@ class BaseGAN(ABC):
     def _pair_fusable(m0, m1) -> bool:
         """May the identical-architecture pair run as one stacked-weights
         vmapped pass? (See `apply_paired` for the contract.)"""
-        return (PAIRED_APPLY and type(m0) is type(m1) and m0 == m1
+        return (FLAGS.paired_apply and type(m0) is type(m1) and m0 == m1
                 and getattr(m0, "norm_type", None) != "batch"
                 and not getattr(m0, "use_dropout", False)
                 and not getattr(m0, "stochastic_rngs", ()))

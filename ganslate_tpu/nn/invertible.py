@@ -28,19 +28,18 @@ from flax import linen as nn
 from ganslate_tpu.nn.layers import (Conv, apply_norm_s2d, inert_bias,
                                     is_bias_before_norm)
 
-# lax.scan unroll factor for the memory-saving coupling sequences
-# (trace-time global). unroll > 1 lets XLA fuse across coupling blocks (and
-# makes cost_analysis count every block's FLOPs instead of one body);
-# unroll = 1 keeps compile time and code size minimal.
-SCAN_UNROLL = 1
+from ganslate_tpu.flags import FLAGS
 
-# The plain (activation-storing) path fully unrolls instead: with unroll=1
-# every coupling materializes its concat carry to HBM and XLA cannot fuse
-# the norm/PReLU/add chains across blocks. Sequences are 1-4 blocks, so the
-# unrolled program is small — measured +27% on the 28-window s2d V-Net
-# sliding-window forward (1.64 -> 2.09 vols/s, tools/ab_sw_unroll.py), and
-# it COMPILES faster (58 vs 82 s).
-PLAIN_UNROLL_FULL = True
+# Unroll policy (flags.scan_unroll / flags.plain_unroll_full):
+# - memory-saving coupling sequences ride a lax.scan; unroll > 1 lets XLA
+#   fuse across coupling blocks (and makes cost_analysis count every
+#   block's FLOPs instead of one body) at the cost of compile time.
+# - the plain (activation-storing) path fully unrolls instead: with
+#   unroll=1 every coupling materializes its concat carry to HBM and XLA
+#   cannot fuse the norm/PReLU/add chains across blocks. Sequences are 1-4
+#   blocks, so the unrolled program is small — measured +27% on the
+#   28-window s2d V-Net sliding-window forward (1.64 -> 2.09 vols/s,
+#   tools/ab_sw_unroll.py), and it COMPILES faster (58 vs 82 s).
 
 
 def _split(x):
@@ -77,7 +76,7 @@ def _make_sequence(apply_fn: Callable, reverse_params: bool):
         def body(h, p):
             return step_fwd(apply_fn, p, h), None
         y, _ = jax.lax.scan(body, x, params, reverse=reverse_params,
-                            unroll=SCAN_UNROLL)
+                            unroll=FLAGS.scan_unroll)
         return y
 
     def fwd(params, x):
@@ -99,7 +98,7 @@ def _make_sequence(apply_fn: Callable, reverse_params: bool):
         # Walk blocks in the opposite order of the forward scan.
         (_, gx), gparams = jax.lax.scan(body, (y, g), params,
                                         reverse=not reverse_params,
-                                        unroll=SCAN_UNROLL)
+                                        unroll=FLAGS.scan_unroll)
         return gparams, gx
 
     sequence.defvjp(fwd, bwd)
@@ -182,7 +181,7 @@ class InvertibleSequence(nn.Module):
             seq = _make_sequence(apply_fn, reverse_params=inverse)
             return seq(self.stacked, x)
         # Plain (activation-storing) path.
-        unroll = self.n_blocks if PLAIN_UNROLL_FULL else SCAN_UNROLL
+        unroll = self.n_blocks if FLAGS.plain_unroll_full else FLAGS.scan_unroll
         kt = self._stacked_s2d_kernels(x) if self.s2d > 1 else None
         if kt is not None:
             # Serving: thread the per-block transformed kernels through the

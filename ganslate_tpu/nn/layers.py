@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ganslate_tpu.flags import FLAGS
+
 Array = jax.Array
 
 
@@ -50,28 +52,19 @@ def _to_tuple(v: Union[int, Sequence[int]], n: int) -> Tuple[int, ...]:
 
 _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "edge": "edge"}
 
-# Hand-written pad backward (see _pad_spatial_bwd); module-level so A/B
-# harnesses can flip it.
-PAD_CUSTOM_VJP = True
-
-# Honor Conv/ConvTranspose `bias_inert` (stop_gradient the bias of convs
-# whose output feeds an affine-less instance norm, where a per-channel
-# constant cancels exactly: (x+b) - mean(x+b) == x - mean(x) per
-# (sample, channel)). The forward ADD is kept — dropping it measured a
-# 10.5% sliding-window regression because it was load-bearing for XLA's
-# conv+stat fusion layouts — so the forward program is byte-identical to
-# the reference's; the bias simply receives a zero gradient instead of the
-# reference's ~1e-8 rounding-noise gradient (which is equally inert in the
-# function but drags a full bias-grad reduce fusion through every backward
-# pass; +2.8% on the fused CycleGAN-256 step). Module-level so A/B
-# harnesses can flip it.
-BIAS_INERT = True
+# Perf switches read here (pad_custom_vjp, pad_fwd_onepass, bias_inert,
+# polyphase_2d, transpose_custom_grad) live on the single flags surface —
+# defaults, measured deltas, and scoping rules in ganslate_tpu/flags.py.
 
 
 def inert_bias(norm_type: Optional[str]) -> bool:
     """True when a conv bias preceding this norm type is mathematically
-    cancelled (see BIAS_INERT). Only affine-less instance norm cancels;
-    'none' passes the bias through and 'batch' already drops use_bias."""
+    cancelled: (x+b) - mean(x+b) == x - mean(x) per (sample, channel), so
+    the bias can be stop-gradiented (flags.bias_inert; the forward ADD is
+    kept — the program stays byte-identical to the reference's, the bias
+    just gets an exact zero gradient instead of ~1e-8 rounding noise).
+    Only affine-less instance norm cancels; 'none' passes the bias through
+    and 'batch' already drops use_bias."""
     return norm_type == "instance"
 
 
@@ -79,7 +72,7 @@ def pad_spatial(x: Array, pad: Sequence[int], mode: str = "zeros") -> Array:
     """Pad the spatial dims of a channels-last tensor (N, *spatial, C)."""
     if all(p == 0 for p in pad):
         return x
-    if PAD_CUSTOM_VJP and mode in ("reflect", "replicate", "edge") and all(
+    if FLAGS.pad_custom_vjp and mode in ("reflect", "replicate", "edge") and all(
             x.shape[1 + i] >= 2 * p + 2 for i, p in enumerate(pad)):
         # Custom VJP: XLA lowers the autodiff transpose of the
         # concat-of-flipped-slices jnp.pad into a chain of full-tensor
@@ -97,28 +90,18 @@ def pad_spatial(x: Array, pad: Sequence[int], mode: str = "zeros") -> Array:
 from functools import partial as _partial
 
 
-# One-pass pad FORWARD (nested concat over 3^n source segments, every leaf
-# a slice/flip of the ORIGINAL x) vs sequential per-axis concats: the
-# per-axis form materializes the full tensor once PER PADDED AXIS because
-# each axis's concat reads the previous axis's result; the nested form has
-# no cross-axis data dependence, so XLA fuses the whole segment grid into
-# ONE output write (the forward twin of PAD_BWD_ONEPASS below, which
-# measured +5.3% on the fused CycleGAN-256 step). Reflect and replicate are
-# separable — padded[i, j] = x[refl(i), refl(j)] — so corner segments are
-# just doubly-flipped slices. Module-level so A/B harnesses can flip it.
-PAD_FWD_ONEPASS = True
-
-# Rank-default for ConvTranspose(polyphase=None) in 2D: the dilated form won
-# the r2 A/B (4.6% inside the fused step), but its KERNEL gradient reverses
-# the full output-grad tensor (traced 0.82 ms x4 on CycleGAN-256 up convs) —
-# re-measure per XLA version via tools/ab_train_interleaved.py. 3D always
-# defaults to polyphase (measured 27% faster grads).
-POLYPHASE_2D_DEFAULT = False
-
-
+# One-pass pad FORWARD (flags.pad_fwd_onepass): nested concat over 3^n
+# source segments, every leaf a slice/flip of the ORIGINAL x, vs sequential
+# per-axis concats. The per-axis form materializes the full tensor once PER
+# PADDED AXIS because each axis's concat reads the previous axis's result;
+# the nested form has no cross-axis data dependence, so XLA fuses the whole
+# segment grid into ONE output write (the forward twin of the one-pass pad
+# backward below, which measured +5.3% on the fused CycleGAN-256 step).
+# Reflect and replicate are separable — padded[i, j] = x[refl(i), refl(j)]
+# — so corner segments are just doubly-flipped slices.
 @_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _pad_spatial_ad(x: Array, pad: Tuple[int, ...], mode: str) -> Array:
-    if mode in ("reflect", "replicate", "edge") and PAD_FWD_ONEPASS:
+    if mode in ("reflect", "replicate", "edge") and FLAGS.pad_fwd_onepass:
         def border(sub, ax, p, n_ax, side):
             if mode == "reflect":
                 lo_i, hi_i = (1, p + 1) if side == 0 else (n_ax - p - 1,
@@ -166,13 +149,11 @@ def _pad_spatial_fwd(x, pad, mode):
     return _pad_spatial_ad(x, pad, mode), None
 
 
-# One-pass N-D pad backward (nested concat) vs per-axis passes: the
-# per-axis form materializes the full gradient once PER PADDED AXIS because
-# each axis's segment sums feed the next axis's slices; the nested form has
-# no cross-axis data dependence, so XLA fuses the whole segment grid into
-# ONE output write. Module-level so A/B harnesses can flip it.
-PAD_BWD_ONEPASS = True
-
+# One-pass N-D pad backward (flags.pad_bwd_onepass; nested concat) vs
+# per-axis passes: the per-axis form materializes the full gradient once
+# PER PADDED AXIS because each axis's segment sums feed the next axis's
+# slices; the nested form has no cross-axis data dependence, so XLA fuses
+# the whole segment grid into ONE output write.
 
 def _pad_bwd_axis_segments(n: int, p: int, mode: str):
     """Per-axis transpose plan: list of (core_lo, core_hi, terms) where each
@@ -200,7 +181,7 @@ def _pad_bwd_axis_segments(n: int, p: int, mode: str):
 
 
 def _pad_spatial_bwd(pad, mode, _, g):
-    if not PAD_BWD_ONEPASS:
+    if not FLAGS.pad_bwd_onepass:
         return _pad_spatial_bwd_per_axis(pad, mode, g)
     from itertools import product
 
@@ -354,7 +335,7 @@ class Conv(nn.Module):
     use_bias: bool = True
     # The conv output feeds an affine-less instance norm, so the bias add is
     # mathematically cancelled: create the parameter (checkpoint/importer
-    # parity) but skip the add and its backward reduce (see BIAS_INERT).
+    # parity) but stop its gradient (see flags.bias_inert).
     bias_inert: bool = False
     feature_group_count: int = 1
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
@@ -366,14 +347,14 @@ class Conv(nn.Module):
     def _add_bias(self, y: Array, bias: Optional[Array], rn: int = 1) -> Array:
         if bias is None:
             return y
-        if self.bias_inert and BIAS_INERT:
+        if self.bias_inert and FLAGS.bias_inert:
             # Keep the (function-inert) ADD but stop the gradient: dropping
             # the add entirely measured a 10.5% REGRESSION on the V-Net s2d
             # sliding window (2.59 -> 2.35 vols/s, tools/ab_sw_biasinert.py)
             # because the add was load-bearing for XLA's conv+stat fusion
             # layouts; stop_gradient keeps the forward program byte-identical
             # while still deleting the backward bias-grad reduce fusions
-            # that motivated BIAS_INERT (+2.8% on the CycleGAN-256 step).
+            # that motivated the flag (+2.8% on the CycleGAN-256 step).
             bias = jax.lax.stop_gradient(bias)
         if rn > 1:
             bias = jnp.repeat(bias, rn)
@@ -530,7 +511,7 @@ class Conv(nn.Module):
             x = pad_spatial(x, pad, self.pad_mode)
         kt = _cached_kernel_transform(
             self, lambda: sp.transform_to_cells_kernel(kernel.astype(x.dtype), r))
-        if (sp.TO_CELLS_CELL_GRAD
+        if (FLAGS.to_cells_cell_grad
                 and all((ki - 1) % r == 0 for ki in k)
                 and all(x.shape[1 + i] % r == 0 for i in range(n))):
             # Cell-space data gradient: the stem convs this path serves have
@@ -603,7 +584,7 @@ class ConvTranspose(nn.Module):
     padding: Union[int, Sequence[int]] = 0
     output_padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
-    # See Conv.bias_inert / BIAS_INERT.
+    # See Conv.bias_inert / flags.bias_inert.
     bias_inert: bool = False
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     polyphase: Optional[bool] = None
@@ -623,7 +604,7 @@ class ConvTranspose(nn.Module):
             return self._call_s2d(x, n, k, s, p, op)
 
         use_polyphase = (self.polyphase if self.polyphase is not None
-                         else n == 3 or (n == 2 and POLYPHASE_2D_DEFAULT))
+                         else n == 3 or (n == 2 and FLAGS.polyphase_2d))
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_features, self.features), jnp.float32)
@@ -633,7 +614,7 @@ class ConvTranspose(nn.Module):
             y = polyphase_conv_transpose(x, kernel.astype(x.dtype), s, p, op)
         else:
             from ganslate_tpu.ops import transpose_grad as tg
-            if tg.TRANSPOSE_CUSTOM_GRAD:
+            if FLAGS.transpose_custom_grad:
                 # Reverse-free gradients: XLA's autodiff of the lhs-dilated
                 # form reverses the FULL output gradient to orient the
                 # kernel-grad correlation (0.82 ms x4 traced on
@@ -734,7 +715,7 @@ class ConvTranspose(nn.Module):
                 f"s2d execution space: unsupported transpose geometry k={k} "
                 f"s={s} p={p} op={op}")
         from ganslate_tpu.ops import transpose_grad as tg
-        if tg.TRANSPOSE_CUSTOM_GRAD:
+        if FLAGS.transpose_custom_grad:
             # Reverse-free gradients (see ops/transpose_grad.py) — the s2d
             # up convs are lhs-dilated too, so their kernel grads otherwise
             # reverse the full cell-grid gradient.

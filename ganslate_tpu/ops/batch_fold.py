@@ -22,6 +22,8 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ganslate_tpu.flags import FLAGS
+
 # Fold when the per-sample spatial grid has at most this many cells.
 # ISOLATED convs win big ((4,22,44)x512: 1.8x, (2,11,11)x512: 1.7x,
 # slope-timed) but inside the V-Net coupling scan the fold REGRESSED the
@@ -30,7 +32,7 @@ import jax.numpy as jnp
 # pad/reshape breaks XLA's scan-body fusion). Default OFF until a
 # gap-persistent level layout amortizes the pad once per level; set > 0 to
 # opt in for scan-free networks.
-FOLD_MAX_CELLS = 0
+
 
 
 def foldable(x_shape: Sequence[int], strides: Sequence[int],
@@ -43,7 +45,7 @@ def foldable(x_shape: Sequence[int], strides: Sequence[int],
     if len(x_shape) != 5 or x_shape[0] <= 1:
         return False
     d, h, w = x_shape[1:4]
-    if d * h * w > FOLD_MAX_CELLS:
+    if d * h * w > FLAGS.fold_max_cells:
         return False
     lo, hi = pads[0]
     if strides[0] == 1:

@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ganslate_tpu.flags import FLAGS
+
 # Per-slab VMEM budget (bytes). Measured on v5e (CycleGAN-256, batch 16):
 # running the kernel on the large 6MB+ res-block slabs LOSES to XLA's fused
 # two-pass form (60.0 vs 65.1 img/s) — the single-sample grid can't pipeline
@@ -183,7 +185,7 @@ _TILE_BUDGET = 2 * 1024 * 1024
 # and pipelines its reduction better than the revisit-accumulate grid, so
 # the tiled kernel stays OFF by default. Flip to re-measure on other
 # topologies; correctness is covered by tests/test_ops.py either way.
-_USE_TILED = False
+
 
 # Whole-slab Pallas kernel default. Round-2 measurement INSIDE the CycleGAN
 # res-block chain (slope-timed, v5e, bf16 (16,64,64,256)): conv+norm+relu
@@ -192,7 +194,7 @@ _USE_TILED = False
 # between the conv and the elementwise tail, costing far more than its
 # saved reduction pass. XLA's two-pass form fuses into both neighbors, so
 # it is the default; flip to re-measure on other topologies.
-_USE_PALLAS = False
+
 
 
 def _pick_tile(s: int, c: int):
@@ -207,7 +209,7 @@ def _pick_tile(s: int, c: int):
 
 
 def _use_pallas(x) -> bool:
-    if not _USE_PALLAS or jax.default_backend() != "tpu":
+    if not FLAGS.inorm_pallas or jax.default_backend() != "tpu":
         return False
     s = int(np.prod(x.shape[1:-1]))
     c = x.shape[-1]
@@ -216,7 +218,7 @@ def _use_pallas(x) -> bool:
 
 
 def _use_pallas_tiled(x) -> bool:
-    if not _USE_TILED or jax.default_backend() != "tpu":
+    if not FLAGS.inorm_tiled or jax.default_backend() != "tpu":
         return False
     s = int(np.prod(x.shape[1:-1]))
     c = x.shape[-1]

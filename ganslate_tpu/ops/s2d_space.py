@@ -42,6 +42,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ganslate_tpu.flags import FLAGS
+
 
 def _phase_codes(r: int, n: int) -> np.ndarray:
     """All phase offsets d in row-major order; code = ((d1*r)+d2)*r+d3..."""
@@ -95,7 +97,7 @@ def encode(x: jax.Array, r: int = 2) -> jax.Array:
 # docs/benchmarks.md); the lhs-dilated form lets the MXU write the
 # interleaved layout directly — same trade the s2d up convs already took
 # (21.8 vs 8.9 ms). Module-level so A/B harnesses can flip it.
-DECODE_DILATED = True
+
 
 
 def decode(x: jax.Array, c: int, r: int = 2) -> jax.Array:
@@ -103,7 +105,7 @@ def decode(x: jax.Array, c: int, r: int = 2) -> jax.Array:
     transposed conv (dilated lowering by default, see DECODE_DILATED)."""
     n = x.ndim - 2
     kern = jnp.asarray(_decode_kernel_np(c, r, n), x.dtype)
-    if not DECODE_DILATED:
+    if not FLAGS.s2d_decode_dilated:
         from ganslate_tpu.ops.polyphase_transpose import polyphase_conv_transpose
         return polyphase_conv_transpose(x, kern, (r,) * n, (0,) * n, (0,) * n)
     spatial = "DHW"[3 - n:]
@@ -286,7 +288,7 @@ def broadcast_per_channel(vec: jax.Array, rn: int) -> jax.Array:
 # forward, docs/benchmarks.md). Split, the conv output materializes ONCE in
 # the consumer conv's layout and the stats pay one extra read instead of a
 # read+write round-trip. Module-level so A/B harnesses can flip it.
-STAT_SPLIT = False
+
 
 
 def group_instance_norm(x: jax.Array, channels: int, rn: int,
@@ -309,7 +311,7 @@ def group_instance_norm(x: jax.Array, channels: int, rn: int,
     spatial_axes = tuple(range(1, x.ndim - 1))
     n_elems = rn * int(np.prod([x.shape[i] for i in spatial_axes]))
 
-    if STAT_SPLIT:
+    if FLAGS.s2d_stat_split:
         x = jax.lax.optimization_barrier(x)
     x32 = x.astype(jnp.float32)
     s = jnp.sum(x32, axis=spatial_axes)                 # (N, C*rn)
@@ -542,7 +544,7 @@ def transform_to_cells_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
 # peak (traced 3.0 ms each on the fused CycleGAN-256 step); the cell form
 # runs the same MACs at 12 lanes + a trivial one-hot interleave the MXU
 # writes at full rate. Module-level so A/B harnesses can flip it.
-TO_CELLS_CELL_GRAD = True
+
 
 
 @lru_cache(maxsize=None)
@@ -609,7 +611,7 @@ from functools import partial as _partial
 @_partial(jax.custom_vjp, nondiff_argnums=(2,))
 def to_cells_conv(x: jax.Array, kt: jax.Array, r: int) -> jax.Array:
     """The to-cells boundary conv (plain padded input -> c-major cells) with
-    a cell-space data gradient (see TO_CELLS_CELL_GRAD). Forward identical
+    a cell-space data gradient (see flags.to_cells_cell_grad). Forward identical
     to the raw stride-r VALID conv; kernel grad is XLA's standard
     correlation; only the input grad is re-expressed."""
     return _to_cells_raw_conv(x, kt, r)

@@ -25,14 +25,13 @@ from typing import Tuple
 import jax
 from jax import lax
 
-# Module-level so A/B harnesses can flip it (tools/ab_train_interleaved.py,
-# tools/ab_tgrad3d.py). OFF by default: measured NEUTRAL on both consumers —
-# 74.0 vs 74.3 img/s on the fused CycleGAN-256 step (interleaved A/B) and
-# 541.5 vs 540.4 ms on the 3D s2d V-Net gradient — XLA's materialized
-# reverses are paid back by its better-scheduled kernel-grad conv, and the
-# batch-as-contraction dK conv here costs what the rev saves. Kept because
-# it is bit-exact-tested and one flag re-measures it on future XLA versions.
-TRANSPOSE_CUSTOM_GRAD = False
+# Gated by flags.transpose_custom_grad (OFF by default: measured NEUTRAL on
+# both consumers — 74.0 vs 74.3 img/s on the fused CycleGAN-256 step
+# (interleaved A/B) and 541.5 vs 540.4 ms on the 3D s2d V-Net gradient —
+# XLA's materialized reverses are paid back by its better-scheduled
+# kernel-grad conv, and the batch-as-contraction dK conv here costs what
+# the rev saves. Kept because it is bit-exact-tested and one flag
+# re-measures it on future XLA versions). See ganslate_tpu/flags.py.
 
 
 def _dn(lhs_shape, rhs_shape, n: int):

@@ -72,6 +72,10 @@ def build_loader(conf):
 
 
 def build_gan(conf):
+    # Apply any `train.perf.*` flag overrides before the model traces its
+    # train step (flags are read at trace time; ganslate_tpu/flags.py).
+    from ganslate_tpu import flags
+    flags.apply_config(getattr(getattr(conf, "train", None), "perf", None))
     model_class = import_attr(conf.train.gan._target_)
     return model_class(conf)
 

@@ -147,17 +147,14 @@ def test_fused_d_forward_is_exact(tmp_path):
 
     # (b) One train step's losses agree between the two dispatch modes.
     def losses_after_step(fuse_flag):
-        saved_flag = gan_base.FUSED_D_FORWARD
-        gan_base.FUSED_D_FORWARD = fuse_flag
-        try:
+        from ganslate_tpu import flags
+        with flags.override(fused_d_forward=fuse_flag):
             conf2 = tiny_cyclegan_conf(tmp_path / f"fused_{fuse_flag}")
             m = build_gan(conf2)
             m.setup(example_batch=batch)
             m.set_input(batch)
             m.optimize_parameters()
             return {k: float(jax.device_get(v)) for k, v in m.losses.items()}
-        finally:
-            gan_base.FUSED_D_FORWARD = saved_flag
 
     losses_f = losses_after_step(True)
     losses_u = losses_after_step(False)

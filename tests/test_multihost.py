@@ -31,9 +31,10 @@ assert jax.local_device_count() == 4
 from ganslate_tpu.utils.builders import build_gan
 from ganslate_tpu.utils.testing import make_cyclegan_conf
 
-# pool_size=0: the image pool is deliberately NOT checkpointed (reference
-# parity — its contents aren't saved there either), so exact resume-replay
-# below needs it off.
+# pool_size=0: keeps this cross-process test focused on gradient psum +
+# orbax coordination. (Pools ARE checkpointed since the round-3 work — the
+# single-process bitwise resume test in tests/test_preemption.py covers
+# them; here they'd just add state to compare.)
 conf = make_cyclegan_conf(output_dir=out_dir, batch_size=8, image_size=32,
                           channels=1, n_residual_blocks=1, ngf=8, ndf=8,
                           n_layers_D=1, pool_size=0, mixed_precision=False)

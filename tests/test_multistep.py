@@ -3,7 +3,7 @@
 - make_multi_step(k) must produce the SAME trajectory as k sequential
   single-step dispatches (it is the same step fn scanned over a batch
   stack — only the dispatch granularity changes).
-- BIAS_INERT must be output-exact: a per-channel constant before an
+- flags.bias_inert must be output-exact: a per-channel constant before an
   affine-less instance norm cancels, so skipping the add changes nothing
   (f32; reference keeps the add, /root/reference/ganslate/nn/utils.py:71-80).
 """

@@ -2,6 +2,8 @@
 reference) and custom-VJP gradients vs autodiff of the naive formula."""
 
 import numpy as np
+
+from ganslate_tpu import flags
 import pytest
 
 import jax
@@ -104,7 +106,7 @@ def test_batch_fold_exact_stride1():
     rng = np.random.default_rng(0)
     for pads in ([(1, 1), (1, 1), (1, 1)], [(0, 1), (1, 1), (0, 1)]):
         taps = pads[0][0] + pads[0][1] + 1
-        bf.FOLD_MAX_CELLS = 4096
+        flags.FLAGS.fold_max_cells = 4096
         x = jnp.asarray(rng.normal(size=(5, 4, 6, 7, 8)).astype(np.float32))
         k = jnp.asarray(rng.normal(size=(taps, taps, taps, 8, 16))
                         .astype(np.float32))
@@ -118,19 +120,19 @@ def test_batch_fold_exact_stride1():
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
-    bf.FOLD_MAX_CELLS = 0
+    flags.FLAGS.fold_max_cells = 0
 
 
 def test_batch_fold_threshold_and_guards():
     from ganslate_tpu.ops import batch_fold as bf
 
-    bf.FOLD_MAX_CELLS = 4096
+    flags.FLAGS.fold_max_cells = 4096
     # big grids and batch-1 must not fold; strided depth must not fold
     assert not bf.foldable((4, 16, 44, 44, 8), (1, 1, 1), [(1, 1)] * 3, 3)
     assert not bf.foldable((1, 4, 8, 8, 8), (1, 1, 1), [(1, 1)] * 3, 3)
     assert not bf.foldable((4, 4, 8, 8, 8), (2, 1, 1), [(1, 1)] * 3, 3)
     assert not bf.foldable((4, 4, 8, 8, 8), (1, 1, 1), [(0, 0)] * 3, 3)
-    bf.FOLD_MAX_CELLS = 0
+    flags.FLAGS.fold_max_cells = 0
 
 
 def test_batch_fold_inside_s2d_conv():
@@ -143,14 +145,14 @@ def test_batch_fold_inside_s2d_conv():
     x = jnp.asarray(rng.normal(size=(3, 4, 4, 4, 16 * 8)).astype(np.float32))
     conv = Conv(16, (5, 5, 5), padding=2, s2d_space=2)
     params = jax.jit(conv.init)(jax.random.key(0), x)
-    orig = bf.FOLD_MAX_CELLS
+    orig = flags.FLAGS.fold_max_cells
     try:
-        bf.FOLD_MAX_CELLS = 4096
+        flags.FLAGS.fold_max_cells = 4096
         y_folded = jax.jit(conv.apply)(params, x)
-        bf.FOLD_MAX_CELLS = 0
+        flags.FLAGS.fold_max_cells = 0
         y_plain = jax.jit(conv.apply)(params, x)
     finally:
-        bf.FOLD_MAX_CELLS = orig
+        flags.FLAGS.fold_max_cells = orig
     np.testing.assert_allclose(np.asarray(y_folded), np.asarray(y_plain),
                                atol=1e-4)
 
@@ -160,7 +162,7 @@ def test_batch_fold_exact_strided():
     from ganslate_tpu.ops import batch_fold as bf
 
     rng = np.random.default_rng(2)
-    bf.FOLD_MAX_CELLS = 4096
+    flags.FLAGS.fold_max_cells = 4096
     x = jnp.asarray(rng.normal(size=(5, 4, 6, 6, 8)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(2, 2, 2, 8, 16)).astype(np.float32))
     pads = [(0, 0)] * 3
@@ -175,7 +177,7 @@ def test_batch_fold_exact_strided():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
     # odd depth must not fold with stride 2
     assert not bf.foldable((5, 5, 6, 6, 8), (2, 2, 2), pads, 2)
-    bf.FOLD_MAX_CELLS = 0
+    flags.FLAGS.fold_max_cells = 0
 
 
 class TestPadSpatialVJP:
