@@ -57,7 +57,7 @@ def bench_cyclegan_train():
     # Boundary-cells execution (exact, same checkpoints): the stem/head
     # c7s1 convs are lane-starved (3-channel sides); folding their outputs
     # into 2x2 cells measured +7.6% on the full fused step
-    # (tools/ab_cells_boundary.py, 63.6 -> 68.4 img/s).
+    # (tools/ab.py train, 63.6 -> 68.4 img/s).
     conf.train.gan.generator.use_cells_boundary = True
     # Multi-step dispatch: k steps ride one device dispatch via lax.scan
     # (nn/gans/base.py:make_multi_step) — the per-dispatch pytree flatten +

@@ -14,7 +14,7 @@ executables are unaffected by later flips. Two models traced under
 different `override()` scopes coexist in one process.
 
 Measured deltas (v5e, CycleGAN-256 fused step / 28-window s2d V-Net
-sliding window; tools/ab_train_interleaved.py and tools/ab_sw.py):
+sliding window; tools/ab.py train / tools/ab.py sw):
 
 | flag | default | measured effect of the non-default |
 |---|---|---|

@@ -75,7 +75,7 @@ class ResnetGenerator(nn.Module):
     # Boundary-cells execution (2D; exact, same parameters): the stem and
     # output-head convs are the G's lane-starved layers (3-channel sides;
     # measured 1.2-5.6 ms each at batch 16 @256 while the res core runs at
-    # 85%+ of MXU peak — tools/profile_train5.py). This folds ONLY their
+    # 85%+ of MXU peak — tools/profile.py train). This folds ONLY their
     # outputs: stem runs as a to-cells conv (3x measured), the first down
     # conv consumes cells directly, and the head runs as a to-cells conv +
     # one-hot decode. CUT tap calls fall back to plain execution with the

@@ -39,7 +39,7 @@ from ganslate_tpu.flags import FLAGS
 #   cannot fuse the norm/PReLU/add chains across blocks. Sequences are 1-4
 #   blocks, so the unrolled program is small — measured +27% on the
 #   28-window s2d V-Net sliding-window forward (1.64 -> 2.09 vols/s,
-#   tools/ab_sw_unroll.py), and it COMPILES faster (58 vs 82 s).
+#   tools/ab.py sw), and it COMPILES faster (58 vs 82 s).
 
 
 def _split(x):

@@ -323,7 +323,7 @@ class Conv(nn.Module):
     original conv executed as one VALID stride-r conv straight from the
     (plain-padded, so any pad_mode) input. The network-edge fix for
     lane-starved stems/heads: measured 3x on the CycleGAN c7s1 boundary
-    convs (tools/profile_train8.py). ``from_cells`` = r > 1: the inverse
+    convs (tools/profile.py train). ``from_cells`` = r > 1: the inverse
     boundary — a stride-r original conv (s == r, zero pad) consuming cells
     and producing plain output. Both keep the canonical kernel parameter.
     """
@@ -350,7 +350,7 @@ class Conv(nn.Module):
         if self.bias_inert and FLAGS.bias_inert:
             # Keep the (function-inert) ADD but stop the gradient: dropping
             # the add entirely measured a 10.5% REGRESSION on the V-Net s2d
-            # sliding window (2.59 -> 2.35 vols/s, tools/ab_sw_biasinert.py)
+            # sliding window (2.59 -> 2.35 vols/s, tools/ab.py sw)
             # because the add was load-bearing for XLA's conv+stat fusion
             # layouts; stop_gradient keeps the forward program byte-identical
             # while still deleting the backward bias-grad reduce fusions

@@ -490,7 +490,7 @@ def replicate_pad_cells(x: jax.Array, channels: int, r: int,
 # The network-edge layers (image-side stems and output heads) are the one
 # place folding the INPUT loses: a 3-channel image encodes to 3*r^n lanes
 # (still tiny), and the one-hot encode conv is pure overhead. Measured on
-# v5e (tools/profile_train8.py): the stem c7s1-64 runs 3x faster as a
+# v5e (tools/profile.py train): the stem c7s1-64 runs 3x faster as a
 # stride-r conv STRAIGHT from the plain image with a phase-stacked kernel
 # (output folded, input untouched), while the input-encoded form is SLOWER
 # than plain. These transforms cross the plain<->cell boundary inside the
