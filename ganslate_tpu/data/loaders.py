@@ -62,6 +62,20 @@ class DataLoader:
         self.num_workers = max(0, int(num_workers))
         self.prefetch = max(1, int(prefetch))
         self.drop_last = drop_last
+        # Per-sample RNG plumbing: datasets whose __getitem__ accepts an
+        # `rng` keyword get a np.random.Generator seeded by (sampler seed,
+        # raw stream position) — every random draw in the data plane (domain-B
+        # picks, crop/flip/zoom params) becomes a pure function of the stream
+        # position, so worker-thread scheduling cannot reorder draws and a
+        # checkpoint-resumed stream reproduces the uninterrupted one exactly.
+        # Datasets without the keyword (e.g. user project datasets) keep the
+        # global-RNG behavior.
+        import inspect
+        try:
+            params = inspect.signature(dataset.__getitem__).parameters
+            self._dataset_takes_rng = "rng" in params
+        except (TypeError, ValueError):
+            self._dataset_takes_rng = False
 
     def __len__(self):
         if hasattr(self.sampler, "__len__"):
@@ -71,19 +85,34 @@ class DataLoader:
             return -(-n // self.local_batch_size)
         raise TypeError("Infinite loader has no length")
 
-    def _index_batches(self) -> Iterator[List[int]]:
-        batch: List[int] = []
+    def _index_batches(self) -> Iterator[List[tuple]]:
+        """Yields batches of (index, raw_position) pairs; raw_position is the
+        sample's slot in the shared pre-striding stream (rank + pos*world) —
+        globally unique and stable across checkpoint-resume, so it can seed
+        the per-sample RNG."""
+        rank = communication.get_rank()
+        world = communication.get_world_size()
+        pos = int(getattr(self.sampler, "position", 0))
+        batch: List[tuple] = []
         for idx in self.sampler:
-            batch.append(idx)
+            batch.append((idx, rank + pos * world))
+            pos += 1
             if len(batch) == self.local_batch_size:
                 yield batch
                 batch = []
         if batch and not self.drop_last:
             yield batch
 
+    def _load(self, index: int, raw_position: int):
+        if self._dataset_takes_rng:
+            seed = int(getattr(self.sampler, "seed", 0))
+            rng = np.random.default_rng([seed, raw_position])
+            return self.dataset.__getitem__(index, rng=rng)
+        return self.dataset[index]
+
     def _iter_sync(self) -> Iterator[Dict[str, Any]]:
         for indices in self._index_batches():
-            yield collate([self.dataset[i] for i in indices])
+            yield collate([self._load(i, p) for i, p in indices])
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.num_workers == 0:
@@ -108,8 +137,8 @@ class DataLoader:
                             indices = next(idx_iter)
                         except StopIteration:
                             return False
-                        futures = [pool.submit(self.dataset.__getitem__, i)
-                                   for i in indices]
+                        futures = [pool.submit(self._load, i, p)
+                                   for i, p in indices]
                         pending.put(futures)
                         return True
 

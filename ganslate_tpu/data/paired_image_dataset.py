@@ -35,8 +35,10 @@ class PairedImageDataset:
     def __len__(self):
         return len(self.domain_A)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, rng=None):
+        # `rng` is supplied by the DataLoader (seeded by stream position) so
+        # the joint crop/flip draw is deterministic under checkpoint-resume.
         index = index % len(self.domain_A)
         a, b = self.domain_A.load(index), self.domain_B.load(index)
-        a_t, b_t = self.transform(a, b)
+        a_t, b_t = self.transform(a, b, rng=rng)
         return {'A': a_t, 'B': b_t}

@@ -38,7 +38,18 @@ class UnpairedImageDataset:
     def __len__(self):
         return max(len(self.domain_A), len(self.domain_B))
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, rng=None):
+        # `rng` (a np.random.Generator) is supplied by the DataLoader, seeded
+        # by the sample's stream position: the B-draw and both transform
+        # parameter draws become deterministic under checkpoint-resume and
+        # thread scheduling. Standalone use (rng=None) falls back to global
+        # RNGs.
         a = self.domain_A.load(index % len(self.domain_A))
-        b = self.domain_B.load(random.randint(0, len(self.domain_B) - 1))
-        return {'A': self.transform(a), 'B': self.transform(b)}
+        if rng is None:
+            b_index = random.randint(0, len(self.domain_B) - 1)
+        else:
+            b_index = int(rng.integers(0, len(self.domain_B)))
+        b = self.domain_B.load(b_index)
+        # A and B get INDEPENDENT transform draws (sequential consumption of
+        # the same per-sample rng keeps them independent AND deterministic).
+        return {'A': self.transform(a, rng=rng), 'B': self.transform(b, rng=rng)}

@@ -39,6 +39,13 @@ class Trainer(BaseEngine):
         self.tracker = TrainingTracker(self.conf)
 
         self.data_loader = build_loader(self.conf)
+        if self.conf.train.checkpointing.load_iter:
+            # Resume the data stream BEFORE the first batch is drawn: the
+            # sampler fast-forwards to the interrupted position so the
+            # trajectory continues instead of restarting the permutation
+            # stream (the reference restarts:
+            # /root/reference/ganslate/data/samplers.py has no cursor).
+            self._restore_data_state(self.conf.train.checkpointing.load_iter)
         self._data_iter = iter(self.data_loader)
         self._first_batch = next(self._data_iter)
 
@@ -98,7 +105,7 @@ class Trainer(BaseEngine):
                 self.logger.warning(
                     f"Preemption signal received; saving checkpoint at iteration "
                     f"{self.iter_idx} and stopping.")
-                self.model.save_checkpoint(self.iter_idx)
+                self._save_model_checkpoint(self.iter_idx)
                 break
 
             self.tracker.start_dataloading_timer()
@@ -156,7 +163,7 @@ class Trainer(BaseEngine):
                 self.logger.warning(
                     f"Preemption signal received; saving checkpoint at "
                     f"iteration {self.iter_idx} and stopping.")
-                self.model.save_checkpoint(self.iter_idx)
+                self._save_model_checkpoint(self.iter_idx)
                 break
 
             self.tracker.start_dataloading_timer()
@@ -224,7 +231,58 @@ class Trainer(BaseEngine):
             start_after = self.conf.train.checkpointing.start_after
             if self.iter_idx % freq == 0 and self.iter_idx >= start_after:
                 self.logger.info(f"Saving the model after {self.iter_idx} iterations.")
-                self.model.save_checkpoint(self.iter_idx)
+                self._save_model_checkpoint(self.iter_idx)
+
+    # ------------------------------------------------- data-plane checkpoint
+
+    def _save_model_checkpoint(self, iter_idx):
+        """Model checkpoint + data-plane sidecar: `{sampler_seed, position,
+        world_size}` in `checkpoints/data_state_<iter>.json`. Position is the
+        per-process index count actually CONSUMED by training (iters x local
+        batch) — the sampler's live cursor runs ahead by the loader's
+        prefetch depth, so it must not be read here."""
+        self.model.save_checkpoint(iter_idx)
+        sampler = getattr(self.data_loader, "sampler", None)
+        if not (hasattr(sampler, "set_state") and hasattr(sampler, "seed")):
+            return
+        if communication.get_rank() == 0:
+            import json
+            state = {
+                "sampler_seed": int(sampler.seed),
+                "position": int(iter_idx * self.data_loader.local_batch_size),
+                "world_size": communication.get_world_size(),
+            }
+            path = self.model._checkpoint_dir() / f"data_state_{iter_idx}.json"
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(json.dumps(state))
+
+    def _restore_data_state(self, load_iter):
+        sampler = getattr(self.data_loader, "sampler", None)
+        if not hasattr(sampler, "set_state"):
+            return
+        # The model is built after the loader; derive the path from config.
+        from pathlib import Path
+        path = Path(self.conf.train.output_dir) / "checkpoints" / \
+            f"data_state_{load_iter}.json"
+        if not path.exists():
+            self.logger.warning(
+                f"Checkpoint {load_iter} has no data-plane state ({path.name} "
+                "missing — written by an older version?); the sampler stream "
+                "restarts instead of resuming.")
+            return
+        import json
+        state = json.loads(path.read_text())
+        if state.get("world_size") != communication.get_world_size():
+            self.logger.warning(
+                f"Data-plane state was saved with world_size="
+                f"{state.get('world_size')} but this run has "
+                f"{communication.get_world_size()} processes; the per-process "
+                "stream positions don't map — the sampler stream restarts.")
+            return
+        sampler.set_state(state["sampler_seed"], state["position"])
+        self.logger.info(
+            f"Data stream resumed at position {state['position']} "
+            f"(seed {state['sampler_seed']}).")
 
     def _init_validator(self):
         if not self.conf.get("val"):

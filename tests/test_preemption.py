@@ -215,3 +215,103 @@ def test_checkpoint_resume_reproduces_trajectory(tmp_path):
     for a, b in zip(flat_full, flat_res):
         np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
                                       np.asarray(jax.device_get(b)))
+
+
+def _write_yaml_stochastic(tmp: Path, out_dir: Path, n_iters: int,
+                           ckpt_freq: int) -> Path:
+    """Config with the FULL stochastic data plane on: unpaired B-draws,
+    random_crop + random_flip transforms, threaded workers."""
+    yaml = f"""
+train:
+  output_dir: {out_dir}
+  cuda: False
+  n_iters: {n_iters}
+  n_iters_decay: 0
+  batch_size: 4
+  mixed_precision: False
+  seed: 11
+  logging:
+    freq: 1
+  checkpointing:
+    freq: {ckpt_freq}
+  dataset:
+    _target_: ganslate.data.UnpairedImageDataset
+    root: {tmp}/ds/train
+    num_workers: 2
+    image_channels: 3
+    preprocess: ["resize", "random_crop", "random_flip"]
+    load_size: [36, 36]
+    final_size: [32, 32]
+  gan:
+    _target_: ganslate.nn.gans.unpaired.CycleGAN
+    pool_size: 4
+    generator:
+      _target_: ganslate.nn.generators.Resnet2D
+      n_residual_blocks: 1
+      ngf: 8
+      in_out_channels:
+        AB: [3, 3]
+    discriminator:
+      _target_: ganslate.nn.discriminators.PatchGAN2D
+      n_layers: 1
+      ndf: 8
+      in_channels:
+        B: 3
+    optimizer:
+      lr_D: 0.0002
+      lr_G: 0.0004
+"""
+    path = tmp / f"exp_{out_dir.name}.yaml"
+    path.write_text(yaml)
+    return path
+
+
+def test_trainer_path_resume_reproduces_trajectory(tmp_path):
+    """The round-3 resume-trajectory test fed batches BY HAND; this one runs
+    the REAL data plane — Trainer + InfiniteSampler + threaded DataLoader +
+    the unpaired dataset's random B-draws and random crop/flip transforms —
+    and demands the same bitwise (fp32/CPU) equality:
+
+        6 uninterrupted Trainer iters  ==  3 iters -> checkpoint -> fresh
+        Trainer resumed with load_iter=3 -> 3 more iters.
+
+    Holds because (a) the checkpoint sidecar carries {sampler_seed, position}
+    and the Trainer fast-forwards the sampler on resume (the reference
+    restarts its permutation stream: /root/reference/ganslate/data/
+    samplers.py keeps no cursor, nn/gans/base.py:226-251 saves no data
+    state), and (b) every random draw in the data plane is a pure function
+    of (sampler_seed, stream position) via the loader's per-sample RNGs —
+    so prefetch depth and worker-thread scheduling can't perturb it."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from ganslate_tpu.engines.utils import init_engine
+
+    _make_dataset(tmp_path / "ds")
+
+    def final_state(out_name, runs):
+        out = tmp_path / out_name
+        for n_iters, ckpt_freq, load_iter in runs:
+            yaml_path = _write_yaml_stochastic(tmp_path, out, n_iters,
+                                               ckpt_freq)
+            overrides = []
+            if load_iter:
+                overrides = [f"train.checkpointing.load_iter={load_iter}"]
+            trainer = init_engine("train",
+                                  [f"config={yaml_path}", *overrides])
+            trainer.run()
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore((out / "checkpoints" / "6").resolve())
+
+    full = final_state("full", [(6, 6, None)])
+    resumed = final_state("interrupted", [(3, 3, None), (6, 3, 3)])
+
+    sidecar = tmp_path / "interrupted" / "checkpoints" / "data_state_3.json"
+    assert sidecar.exists(), "checkpoint did not write the data-plane sidecar"
+
+    flat_full, treedef_full = jax.tree_util.tree_flatten(full)
+    flat_res, treedef_res = jax.tree_util.tree_flatten(resumed)
+    assert treedef_full == treedef_res
+    assert len(flat_full) > 0
+    for a, b in zip(flat_full, flat_res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
