@@ -351,7 +351,7 @@ def test_cyclegan_lockstep_identity(tmp_path):
                           "idt_A", "idt_B", "D_A", "D_B"])
 
 
-def test_pix2pix_lockstep(tmp_path):
+def _run_pix2pix_lockstep(tmp_path, batches_seed, n_steps):
     os.environ.pop("WORLD_SIZE", None)
     # The reference model's INIT consumes torch's global RNG; pin it so
     # the trained trajectory (and hence the chaos-tolerance check) does
@@ -366,11 +366,25 @@ def test_pix2pix_lockstep(tmp_path):
     conf = _our_conf(tmp_path, "ganslate.nn.gans.paired.Pix2PixConditionalGAN",
                      opt, {"B": 2 * CH})
     ours = build_gan(conf)
-    batches = _batches(2, N_STEPS)
+    batches = _batches(batches_seed, n_steps)
     ours.setup(example_batch=batches[0])
 
     _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
               loss_names=["G", "pix2pix", "D"])
+
+
+def test_pix2pix_lockstep(tmp_path):
+    _run_pix2pix_lockstep(tmp_path, batches_seed=2, n_steps=N_STEPS)
+
+
+def test_pix2pix_lockstep_long_horizon(tmp_path):
+    """50 Adam steps — same construction and rationale as
+    `test_cyclegan_lockstep_long_horizon` (running-max chaos floor, x30
+    losses / x10 params): a systematic error compounds faster than the
+    torch-vs-perturbed-torch control and trips the bounded-multiple
+    assertions where the 5-step test cannot see it. Match:
+    /root/reference/ganslate/nn/gans/paired/pix2pix.py:76-143."""
+    _run_pix2pix_lockstep(tmp_path, batches_seed=12, n_steps=50)
 
 
 def _fixed_revgan_backward_G(self):
@@ -394,12 +408,7 @@ def _fixed_revgan_backward_G(self):
     self.backward(loss=combined, optimizer=self.optimizers["G"], loss_id=2)
 
 
-def test_revgan_lockstep(tmp_path, monkeypatch):
-    """RevGAN: ONE partially-invertible G (forward=AB, inverse=BA) with
-    memory-constant couplings, separate D_A/D_B, D step on pooled fakes with
-    retain_graph. Lockstep pins the recompute-by-inverse custom VJP's
-    gradients against torch autograd through the coupling stubs, plus the
-    shared-G update dynamics."""
+def _run_revgan_lockstep(tmp_path, monkeypatch, batches_seed, n_steps):
     os.environ.pop("WORLD_SIZE", None)
     # The reference model's INIT consumes torch's global RNG; pin it so
     # the trained trajectory (and hence the chaos-tolerance check) does
@@ -428,11 +437,31 @@ def test_revgan_lockstep(tmp_path, monkeypatch):
                                     "ndf": 8, "n_layers": 1,
                                     "in_channels": {"B": 1}})
     ours = build_gan(conf)
-    batches = _batches(3, N_STEPS, spatial=(12, 12, 12), ch=1)
+    batches = _batches(batches_seed, n_steps, spatial=(12, 12, 12), ch=1)
     ours.setup(example_batch=batches[0])
 
     _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
               loss_names=["G_AB", "G_BA", "cycle_A", "cycle_B", "D_A", "D_B"])
+
+
+def test_revgan_lockstep(tmp_path, monkeypatch):
+    """RevGAN: ONE partially-invertible G (forward=AB, inverse=BA) with
+    memory-constant couplings, separate D_A/D_B, D step on pooled fakes with
+    retain_graph. Lockstep pins the recompute-by-inverse custom VJP's
+    gradients against torch autograd through the coupling stubs, plus the
+    shared-G update dynamics."""
+    _run_revgan_lockstep(tmp_path, monkeypatch, batches_seed=3,
+                         n_steps=N_STEPS)
+
+
+def test_revgan_lockstep_long_horizon(tmp_path, monkeypatch):
+    """50 Adam steps — same construction and rationale as
+    `test_cyclegan_lockstep_long_horizon`. Especially valuable here: the
+    recompute-by-inverse VJP re-derives activations from the coupling
+    inverses, so any slow numerical skew in the inverse path would compound
+    over the shared-G update dynamics and outrun the chaos floor. Match:
+    /root/reference/ganslate/nn/gans/unpaired/revgan.py:123-199."""
+    _run_revgan_lockstep(tmp_path, monkeypatch, batches_seed=13, n_steps=50)
 
 
 def test_cut_unpinned_distributional(tmp_path):
@@ -521,16 +550,7 @@ def test_cut_unpinned_distributional(tmp_path):
             f"ref {r} vs ours {o} — systematic NCE/patch-RNG mismatch"
 
 
-def test_cut_lockstep(tmp_path, monkeypatch):
-    """CUT: D updates FIRST, then a joint G+mlp update against the updated D
-    (reference cut.py:113-128); NCE over per-level projected patches with the
-    reference's weighting quirks (NCE logged unweighted, the combined loss
-    uses (1-λ)·NCE + λ·NCE_idt). The only cross-framework RNG is the
-    per-level patch selection — pinned IDENTICALLY on both sides by turning
-    the permutation into arange (torch.randperm / jax.random.permutation), so
-    both select the first num_patches positions and the remaining math must
-    lockstep. The reference reads `gan.generator.in_channels`, a key its own
-    schema does not define (cut.py:82-83 — latent bug); supplied explicitly."""
+def _run_cut_lockstep(tmp_path, monkeypatch, batches_seed, n_steps):
     import jax.numpy as jnp
 
     os.environ.pop("WORLD_SIZE", None)
@@ -568,8 +588,32 @@ def test_cut_lockstep(tmp_path, monkeypatch):
                                     "in_channels": {"B": 1}},
                      gan_extras=extras)
     ours = build_gan(conf)
-    batches = _batches(4, N_STEPS, ch=1)
+    batches = _batches(batches_seed, n_steps, ch=1)
     ours.setup(example_batch=batches[0])
 
     _lockstep(tmp_path, ref_cls, ref, ref_conf, ours, batches,
               loss_names=["D", "G", "NCE", "NCE_idt"])
+
+
+def test_cut_lockstep(tmp_path, monkeypatch):
+    """CUT: D updates FIRST, then a joint G+mlp update against the updated D
+    (reference cut.py:113-128); NCE over per-level projected patches with the
+    reference's weighting quirks (NCE logged unweighted, the combined loss
+    uses (1-λ)·NCE + λ·NCE_idt). The only cross-framework RNG is the
+    per-level patch selection — pinned IDENTICALLY on both sides by turning
+    the permutation into arange (torch.randperm / jax.random.permutation), so
+    both select the first num_patches positions and the remaining math must
+    lockstep. The reference reads `gan.generator.in_channels`, a key its own
+    schema does not define (cut.py:82-83 — latent bug); supplied explicitly."""
+    _run_cut_lockstep(tmp_path, monkeypatch, batches_seed=4, n_steps=N_STEPS)
+
+
+def test_cut_lockstep_long_horizon(tmp_path, monkeypatch):
+    """50 Adam steps of arange-pinned CUT — same construction and rationale
+    as `test_cyclegan_lockstep_long_horizon`; catches slow-compounding skew
+    in the three-optimizer (G, D, mlp) update order, the NCE weighting, and
+    the shared patch-index plumbing that the 5-step tolerance hides. The
+    unpinned random-patch dynamics are covered distributionally by
+    `test_cut_unpinned_distributional`. Match:
+    /root/reference/ganslate/nn/gans/unpaired/cut.py:104-226."""
+    _run_cut_lockstep(tmp_path, monkeypatch, batches_seed=14, n_steps=50)
