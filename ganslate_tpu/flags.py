@@ -27,6 +27,7 @@ sliding window; tools/ab.py train / tools/ab.py sw):
 | paired_apply | False | on: -10% train step (71.5 -> 64.5 img/s) — XLA lowers vmapped stacked-weight convs to slower grouped convs; kept for re-measurement |
 | scan_unroll | 1 | >1 lets XLA fuse across memory-saving coupling blocks and makes cost_analysis count every block; costs compile time |
 | plain_unroll_full | True | off: -27% sliding-window forward (concat carries spill to HBM between couplings) and slower compile (82 vs 58 s) |
+| to_cells_via_encode | 2 | 0 (direct wide conv): -2.1% train step — the r=4 head's 10x10 stride-4 window iterates the conv emitter at ~20 TF/s; the composed encode+k5s2 form is res-core-shaped |
 """
 
 import contextlib
@@ -67,6 +68,13 @@ class PerfFlags:
     pad_bwd_onepass: bool = True
     # to-cells boundary convs: compute the data gradient in cell space.
     to_cells_cell_grad: bool = True
+    # to-cells folds wider than this r_in execute as encode(r_in) + one
+    # composed stride-(r/r_in) conv instead of one wide stride-r conv:
+    # the r=4 head's 10x10 stride-4 window iterates XLA's conv emitter at
+    # ~20 TF/s; the composed form is a res-core-shaped k5 s2 256->48 conv.
+    # Measured +2.1% full fused CycleGAN-256 step (74.2 -> 75.7 img/s,
+    # tools/ab.py train). 0 disables (direct wide conv).
+    to_cells_via_encode: int = 2
     # s2d decode via one lhs-dilated conv (vs gather-based decode).
     s2d_decode_dilated: bool = True
     # s2d instance-norm: split stats across the cell axis reduction.

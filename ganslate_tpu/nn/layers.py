@@ -509,6 +509,28 @@ class Conv(nn.Module):
                     f"must divide r={r}")
         if any(pad):
             x = pad_spatial(x, pad, self.pad_mode)
+        r_in = FLAGS.to_cells_via_encode
+        if (r_in > 1 and r > r_in and r % r_in == 0
+                and all(d % r_in == 0 for d in x.shape[1:-1])):
+            # Composed form for wide folds (the r=4 head): encode the padded
+            # plain input to r_in-cells with a one-hot conv the MXU runs at
+            # full rate, then one stride-(r/r_in) conv with the composed
+            # kernel — res-core-shaped (e.g. 5x5, 256 -> 48 lanes) instead
+            # of the 10x10 stride-4 window XLA's emitter iterates at
+            # ~20 TF/s (docs/benchmarks.md attack list).
+            xc = sp.encode(x, r_in)
+            kt = _cached_kernel_transform(
+                self, lambda: sp.transform_to_cells_via_kernel(
+                    kernel.astype(x.dtype), r, r_in))
+            pads = [sp.to_cells_via_pads(k[i], r, r_in, xc.shape[1 + i])
+                    for i in range(n)]
+            spatial = "DHW"[3 - n:]
+            dn = jax.lax.conv_dimension_numbers(
+                xc.shape, kt.shape,
+                (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+            y = jax.lax.conv_general_dilated(xc, kt, (r // r_in,) * n, pads,
+                                             dimension_numbers=dn)
+            return self._add_bias(y, bias, r ** n)
         kt = _cached_kernel_transform(
             self, lambda: sp.transform_to_cells_kernel(kernel.astype(x.dtype), r))
         if (FLAGS.to_cells_cell_grad

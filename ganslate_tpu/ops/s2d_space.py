@@ -536,6 +536,82 @@ def transform_to_cells_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
     return kr.reshape(*kr.shape[:n], c_in, c_out * r ** n)
 
 
+@lru_cache(maxsize=None)
+def _to_cells_via_plan(k: int, r_out: int, r_in: int) \
+        -> Tuple[np.ndarray, np.ndarray, int]:
+    """Per-dim plan for `transform_to_cells_via_kernel`: the original
+    stride-1 conv tap is u = r_in*w + psi - phi for cell tap offset w,
+    input (r_in) phase psi, output (r_out) phase phi; valid iff 0 <= u < k.
+    Returns (u, valid, w_first) with shapes (ext, r_in, r_out)."""
+    # u >= 0 -> w >= (phi - psi)/r_in >= -(r_in-1)/r_in -> w_lo = 0;
+    # u <= k-1 -> w <= (k-1 - psi + phi)/r_in <= (k-1 + r_out-1)/r_in.
+    w_lo = 0
+    w_hi = (k - 1 + r_out - 1) // r_in
+    w = np.arange(w_lo, w_hi + 1)[:, None, None]
+    psi = np.arange(r_in)[None, :, None]
+    phi = np.arange(r_out)[None, None, :]
+    u = r_in * w + psi - phi
+    valid = (u >= 0) & (u < k)
+    keep = valid.any(axis=(1, 2))
+    first = int(np.argmax(keep))
+    last = len(keep) - 1 - int(np.argmax(keep[::-1]))
+    u, valid = u[first:last + 1], valid[first:last + 1]
+    return np.clip(u, 0, k - 1), valid, w_lo + first
+
+
+def transform_to_cells_via_kernel(kernel: jax.Array, r_out: int,
+                                  r_in: int) -> jax.Array:
+    """(k..k, C, O) -> (ext.., C*r_in^n, O*r_out^n), both channel sides
+    c-major: the to-cells boundary conv EXECUTED FROM r_in-CELL INPUT.
+
+    `transform_to_cells_kernel(kernel, 4)` folds a k7 head into one 10x10
+    stride-4 conv whose wide folded window XLA's conv emitter iterates at
+    ~20 TF/s (docs/benchmarks.md). Composing instead as
+    `encode(x_pad, r_in)` (a one-hot conv the MXU runs at full rate)
+    followed by this kernel — ext (k+2r_out-2)/r_in-ish, stride
+    r_out/r_in, C*r_in^n input lanes — gives the emitter a res-core-shaped
+    conv (e.g. 5x5, 256 -> 48 for k=7, r_in=2, r_out=4). Exact: same
+    output cells as the direct form (tests/test_s2d_space.py).
+
+    Derivation (1-D): y[r_out*U + phi, o] = sum_u W[u,c,o] x_pad[r_out*U +
+    phi + u, c]; writing the padded input as r_in-cells H[V, (c,psi)] =
+    x_pad[r_in*V + psi, c] and V = (r_out/r_in)*U + w gives
+    u = r_in*w + psi - phi, i.e. a stride-(r_out/r_in) conv over H with
+    K[w, (c,psi), (o,phi)] = W[r_in*w + psi - phi, c, o]."""
+    n = kernel.ndim - 2
+    kr = kernel
+    for i in range(n):
+        u, valid, _ = _to_cells_via_plan(kernel.shape[i], r_out, r_in)
+        ax = 3 * i
+        kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
+        kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
+        mshape = [1] * kr.ndim
+        mshape[ax], mshape[ax + 1], mshape[ax + 2] = u.shape
+        kr = kr * jnp.asarray(valid.reshape(mshape), kr.dtype)
+    # (w1,psi1,phi1,...,wn,psin,phin,C,O) ->
+    # (w1..wn, C, psi1..psin, O, phi1..phin)
+    perm = ([3 * i for i in range(n)] + [3 * n]
+            + [3 * i + 1 for i in range(n)] + [3 * n + 1]
+            + [3 * i + 2 for i in range(n)])
+    kr = kr.transpose(perm)
+    c_in, c_out = kernel.shape[n], kernel.shape[n + 1]
+    return kr.reshape(*kr.shape[:n], c_in * r_in ** n, c_out * r_out ** n)
+
+
+def to_cells_via_pads(k: int, r_out: int, r_in: int, in_cells: int) \
+        -> Tuple[int, int]:
+    """(pad_lo, pad_hi) cell padding for the stride-(r_out/r_in) conv of
+    `transform_to_cells_via_kernel` over `in_cells` input cells so its
+    output covers exactly the original VALID to-cells outputs (negative
+    pad_lo trims — lax convs accept negative padding)."""
+    _, valid, w_first = _to_cells_via_plan(k, r_out, r_in)
+    ext = valid.shape[0]
+    m = r_out // r_in
+    out_cells = (in_cells * r_in - k + 1) // r_out
+    hi = (m * (out_cells - 1) + w_first + ext - 1) - (in_cells - 1)
+    return -w_first, hi
+
+
 # Cell-space data gradient for to-cells convs (see `to_cells_conv`):
 # compute dL/d(plain input) as a conv PRODUCING INPUT CELLS (C*r^n lanes)
 # followed by the one-hot decode, instead of XLA's default transposed conv

@@ -169,6 +169,63 @@ def test_resnet2d_cells_boundary_cut_taps_fall_back(rng):
                                    atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.parametrize("nd,k,pad,pad_mode,r", [
+    (2, 7, 3, "reflect", 4), (2, 7, 3, "zeros", 4), (2, 5, 2, "reflect", 4),
+    (3, 5, 2, "replicate", 4), (2, 7, 3, "reflect", 6),
+])
+def test_to_cells_via_encode_exact(rng, nd, k, pad, pad_mode, r):
+    """The composed form (encode r_in + stride-(r/r_in) conv of the
+    composed kernel) must equal the direct wide to-cells conv — forward
+    AND parameter gradients (the composed kernel is a different gather of
+    the same canonical parameter)."""
+    from ganslate_tpu import flags
+
+    shape = (2, *([24 if nd == 2 else 12] * nd), 3)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    conv = Conv(3, (k,) * nd, padding=pad, pad_mode=pad_mode, to_cells=r)
+    p = _params(conv, x)
+
+    def loss(p, x):
+        return jnp.sum(conv.apply(p, x) ** 2)
+
+    with flags.override(to_cells_via_encode=0):
+        want, gwant = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(p, x)
+        want_y = jax.jit(conv.apply)(p, x)
+    with flags.override(to_cells_via_encode=2):
+        got, ggot = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(p, x)
+        got_y = jax.jit(conv.apply)(p, x)
+
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gwant),
+                    jax.tree_util.tree_leaves(ggot)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_resnet2d_cells_boundary_via_encode_exact(rng):
+    """ResnetGenerator(use_cells_boundary) under to_cells_via_encode ==
+    plain, same parameters (the composed head is execution-only)."""
+    from ganslate_tpu import flags
+    from ganslate_tpu.nn.generators.resnet.resnet import ResnetGenerator
+
+    kw = dict(in_channels=3, out_channels=3, ngf=8, n_residual_blocks=1,
+              spatial_dims=2)
+    plain = ResnetGenerator(**kw)
+    cells = ResnetGenerator(**kw, use_cells_boundary=True)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    p = jax.jit(plain.init)(jax.random.key(0), x)
+
+    with flags.override(to_cells_via_encode=2):
+        @jax.jit
+        def run(x):
+            return plain.apply(p, x), cells.apply(p, x)
+
+        want, got = run(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_to_cells_rejects_indivisible(rng):
     cells = Conv(4, (7, 7), padding=0, to_cells=2)
     x = jnp.zeros((1, 10, 10, 3), jnp.float32)  # out 4x4? 10-7+1=4 ok -> use 9
