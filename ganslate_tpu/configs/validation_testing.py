@@ -58,13 +58,18 @@ class BaseValTestMetricsConfig:
     # Chi-squared histogram distance.
     histogram_chi2: bool = False
     # Fréchet Inception Distance over the whole val/test set (beyond the
-    # reference, BASELINE.md north star). Needs `fid_weights`: a torchvision
-    # inception_v3 state_dict (.pth) — see nn/inception.py for how to
-    # produce one. Computed per dataset at the end of the loop from the
-    # accumulated real/fake batches (2D natural images; for 1-channel data
-    # the channel is repeated).
+    # reference, BASELINE.md north star). Needs `fid_weights`: the native
+    # .npz (one-time `ganslate convert-fid-weights inception.pth out.npz`;
+    # no torch at eval time) or a torchvision inception_v3 state_dict .pth
+    # — see nn/inception.py. Computed per dataset at the end of the loop
+    # from the accumulated real/fake batches (1-channel data has the
+    # channel repeated).
     fid: bool = False
     fid_weights: Optional[str] = None
+    # 3D volumes (N, D, H, W, C): compute FID slice-wise — every axial
+    # slice is one Inception image (the standard medical workaround; there
+    # are no canonical 3D Inception statistics). Off: 3D data skips FID.
+    fid_3d_slicewise: bool = True
 
 
 @dataclass

@@ -40,13 +40,14 @@ class BaseValTestEngine(BaseEngineWithInference):
         weights = getattr(mconf, "fid_weights", None)
         if not weights:
             raise ValueError(
-                "metrics.fid requires metrics.fid_weights: a torchvision "
-                "inception_v3 state_dict (.pth); see ganslate_tpu/nn/"
-                "inception.py for how to produce one")
+                "metrics.fid requires metrics.fid_weights: the native .npz "
+                "(from `ganslate convert-fid-weights`) or a torchvision "
+                "inception_v3 state_dict .pth (needs torch at eval time); "
+                "see ganslate_tpu/nn/inception.py")
         from ganslate_tpu.nn.inception import (fid_feature_fn,
-                                               load_torch_inception_file)
+                                               load_inception_weights)
         from ganslate_tpu.utils.metrics.fid import FID
-        return FID(fid_feature_fn(load_torch_inception_file(weights)))
+        return FID(fid_feature_fn(load_inception_weights(weights)))
 
     def run(self, current_idx=None):
         self.logger.info(
@@ -73,11 +74,7 @@ class BaseValTestEngine(BaseEngineWithInference):
                 metrics = self._calculate_metrics()
                 self.tracker.add_sample(self.visuals, metrics)
 
-                if self.fid is not None and self.visuals["real_B"].ndim == 4:
-                    # 2D natural-image FID; 3D volumes are skipped (standard
-                    # Inception statistics are meaningless there, fid.py).
-                    self.fid.update(np.asarray(self.visuals["real_B"]), "real")
-                    self.fid.update(np.asarray(self.visuals["fake_B"]), "fake")
+                self._update_fid()
 
             set_metrics = None
             if self.fid is not None:
@@ -96,6 +93,32 @@ class BaseValTestEngine(BaseEngineWithInference):
 
         if self.conf.mode == "test":
             self.tracker.close()
+
+    _FID_SLICE_CHUNK = 32
+
+    def _update_fid(self):
+        """Stream the current visuals into the FID accumulator.
+
+        2D batches (N, H, W, C) go in directly. 3D volumes (N, D, H, W, C)
+        use the SLICE-WISE pool3 convention when `metrics.fid_3d_slicewise`
+        (default on): every axial slice is treated as one Inception image
+        (grayscale repeated to RGB, resized to 299) — the standard medical
+        workaround, since no canonical 3D Inception statistics exist. Slices
+        feed in fixed-size chunks so the jitted feature fn compiles for at
+        most two batch shapes regardless of volume depth."""
+        if self.fid is None:
+            return
+        mconf = self.conf[self.conf.mode].metrics
+        for which in ("real", "fake"):
+            batch = np.asarray(self.visuals[f"{which}_B"])
+            if batch.ndim == 5:
+                if not getattr(mconf, "fid_3d_slicewise", True):
+                    return
+                batch = batch.reshape(-1, *batch.shape[2:])
+                for i in range(0, len(batch), self._FID_SLICE_CHUNK):
+                    self.fid.update(batch[i:i + self._FID_SLICE_CHUNK], which)
+            else:
+                self.fid.update(batch, which)
 
     def _calculate_metrics(self):
         original = self.visuals["real_A"]

@@ -249,6 +249,49 @@ def load_torch_inception_file(path) -> Dict[str, Any]:
         torch.load(path, map_location="cpu", weights_only=True))
 
 
+def save_inception_npz(params: Dict[str, Any], path) -> None:
+    """Write flax InceptionV3 params as a flat `.npz` ('/'-joined keys) —
+    the framework-native weight format: serving/eval loads it without a
+    torch runtime (`ganslate convert-fid-weights` does the one-time
+    .pth -> .npz conversion)."""
+    flat = {}
+
+    def walk(node, prefix):
+        for key, value in node.items():
+            p = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, dict):
+                walk(value, p)
+            else:
+                flat[p] = np.asarray(value, np.float32)
+
+    walk(params, "")
+    np.savez(path, **flat)
+
+
+def load_inception_npz(path) -> Dict[str, Any]:
+    """Inverse of `save_inception_npz`."""
+    params: Dict[str, Any] = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = params
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = data[key]
+    return params
+
+
+def load_inception_weights(path) -> Dict[str, Any]:
+    """Load InceptionV3 FID weights by extension: `.npz` is the native
+    torch-free format; `.pth`/`.pt` go through the torch importer (one-time —
+    convert with `ganslate convert-fid-weights` to drop torch from the
+    serving path)."""
+    p = str(path)
+    if p.endswith(".npz"):
+        return load_inception_npz(p)
+    return load_torch_inception_file(p)
+
+
 # ------------------------------------------------------------- FID features
 
 

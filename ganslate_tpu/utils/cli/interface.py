@@ -79,5 +79,19 @@ def import_torch_checkpoint_cmd(checkpoint_path, dotlist_args, iter_idx):
     click.echo(f"Converted checkpoint written to {path}")
 
 
+@interface.command(
+    name="convert-fid-weights",
+    help="One-time conversion of torchvision inception_v3 FID weights "
+         "(.pth, needs torch) to the native .npz format, so val/test FID "
+         "runs without a torch runtime (metrics.fid_weights: out.npz).")
+@click.argument("src")
+@click.argument("dst")
+def convert_fid_weights(src, dst):
+    from ganslate_tpu.nn.inception import (load_torch_inception_file,
+                                           save_inception_npz)
+    save_inception_npz(load_torch_inception_file(src), dst)
+    click.echo(f"Native FID weights written to {dst}")
+
+
 if __name__ == "__main__":
     interface()

@@ -15,8 +15,36 @@ def test_commands_registered():
     result = runner.invoke(interface, ["--help"])
     assert result.exit_code == 0
     for cmd in ("train", "test", "infer", "new-project", "your-first-run",
-                "download-dataset", "import-torch-checkpoint"):
+                "download-dataset", "import-torch-checkpoint",
+                "convert-fid-weights"):
         assert cmd in result.output, f"`{cmd}` missing from CLI help"
+
+
+def test_convert_fid_weights_cmd(tmp_path):
+    """`convert-fid-weights` .pth -> .npz round-trips through the torch
+    importer and the result loads torch-free (extension dispatch)."""
+    from tests.torch_inception import InceptionV3 as TorchInceptionV3
+
+    from ganslate_tpu.nn.inception import load_inception_weights
+
+    pth = tmp_path / "inception_v3.pth"
+    torch.save(TorchInceptionV3().state_dict(), str(pth))
+    npz = tmp_path / "inception_v3.npz"
+
+    runner = CliRunner()
+    result = runner.invoke(interface,
+                           ["convert-fid-weights", str(pth), str(npz)])
+    assert result.exit_code == 0, result.output
+    assert npz.exists()
+
+    a = load_inception_weights(str(pth))
+    b = load_inception_weights(str(npz))
+    import jax
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(fa) == len(fb)
+    for path, leaf in fa:
+        np.testing.assert_array_equal(np.asarray(leaf), fb[path])
 
 
 def test_new_project_scaffold(tmp_path):

@@ -210,6 +210,76 @@ def test_inception_golden_features():
                                rtol=2e-3, atol=1e-9)
 
 
+def test_fid_npz_engine_path_torch_free(tmp_path, monkeypatch):
+    """The native .npz weight format reaches the engine FID hook WITHOUT a
+    torch runtime: save flax params as .npz (the `ganslate
+    convert-fid-weights` output format), poison `import torch`, and run the
+    full `_init_fid` -> slice-update -> compute path for BOTH 2D batches
+    and 3D volumes (slice-wise pool3 convention, `metrics.fid_3d_slicewise`)."""
+    import sys
+
+    import jax
+
+    from ganslate_tpu.configs.omega import Conf
+    from ganslate_tpu.engines.validator_tester import BaseValTestEngine
+    from ganslate_tpu.nn.inception import (InceptionV3, load_inception_npz,
+                                           save_inception_npz)
+
+    model = InceptionV3()
+    x0 = np.zeros((1, 75, 75, 3), np.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x0)["params"]
+    weights = tmp_path / "inception_v3.npz"
+    save_inception_npz(params, str(weights))
+
+    # Round-trip equality.
+    loaded = load_inception_npz(str(weights))
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(loaded))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b[path])
+
+    # No torch from here on: the eval/serving path must not import it.
+    monkeypatch.setitem(sys.modules, "torch", None)
+
+    conf = Conf.create({
+        "mode": "val",
+        "val": {"metrics": {"fid": True, "fid_weights": str(weights),
+                            "fid_3d_slicewise": True}},
+    })
+
+    class _Engine(BaseValTestEngine):
+        def _set_mode(self):
+            pass
+
+    eng = object.__new__(_Engine)
+    eng.conf = conf
+    eng.fid = BaseValTestEngine._init_fid(eng)
+    assert eng.fid is not None
+
+    rng = np.random.default_rng(0)
+    # 2D batch path.
+    real2d = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    eng.visuals = {"real_B": real2d, "fake_B": np.clip(real2d + 0.3, -1, 1)}
+    eng._update_fid()
+    assert eng.fid.num_samples("real") == 2
+    assert np.isfinite(eng.fid.compute())
+    eng.fid.reset()
+
+    # 3D volume path: (N, D, H, W, C) streams D slices per volume.
+    real3d = rng.uniform(-1, 1, (1, 5, 32, 32, 1)).astype(np.float32)
+    eng.visuals = {"real_B": real3d, "fake_B": np.clip(real3d + 0.3, -1, 1)}
+    eng._update_fid()
+    assert eng.fid.num_samples("real") == 5
+    assert np.isfinite(eng.fid.compute())
+
+    # Gate off: 3D volumes skip FID.
+    eng.fid.reset()
+    conf.val.metrics.fid_3d_slicewise = False
+    eng._update_fid()
+    assert eng.fid.num_samples("real") == 0
+
+
 def test_fid_config_reachable(tmp_path):
     """`metrics.fid` + `metrics.fid_weights` reach the engine hook: the
     weights file loads into the jitted inception feature_fn and the metric
