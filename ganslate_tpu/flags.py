@@ -68,6 +68,13 @@ class PerfFlags:
     pad_bwd_onepass: bool = True
     # to-cells boundary convs: compute the data gradient in cell space.
     to_cells_cell_grad: bool = True
+    # Full cells head chain (2D boundary-cells mode): the last up conv
+    # produces its r=2 cell representation directly (polyphase phases ARE
+    # the cells — no interleave), norm+relu run in cell space, the head's
+    # reflect pad is built as border cells, and the head conv consumes
+    # cells without the encode round-trip. Measured +6.2% full fused
+    # CycleGAN-256 step (79.4 -> 84.3 img/s, tools/ab.py train, k=8).
+    head_cells_chain: bool = True
     # to-cells folds wider than this r_in execute as encode(r_in) + one
     # composed stride-(r/r_in) conv instead of one wide stride-r conv:
     # the r=4 head's 10x10 stride-4 window iterates XLA's conv emitter at

@@ -196,13 +196,27 @@ class ResnetGenerator(nn.Module):
             return [features[i] for i in extract_features]
 
         # Two stride-2 upsampling transposed convs (norm+relu fused).
+        # In boundary-cells mode the LAST up conv can produce its r=2 cell
+        # representation directly (flags.head_cells_chain): the polyphase
+        # phases ARE the cells, so the depth-to-space interleave (or the
+        # dilated form's structural zeros), the head's plain-side reflect
+        # pad materialization, and the head encode conv all disappear —
+        # norm+relu run in cell space and the head consumes cells.
+        from ganslate_tpu.flags import FLAGS
+        # (final plain extents are 4*d, so the r=4 head always divides;
+        # the guard only keeps reflect border-cell sources in range)
+        chain = (cells and FLAGS.head_cells_chain
+                 and all(d >= 2 for d in h.shape[1:-1]))
         for i in range(2):
             feats //= 2
+            up_cells = 2 if (chain and i == 1) else 0
             h = ConvTranspose(feats, k3, strides=2, padding=1, output_padding=1,
                               bias_inert=inert, kernel_init=init,
-                              s2d_space=s2d, name=f"up{i}")(h)
-            if s2d:
-                h = jax.nn.relu(apply_norm(h, feats))
+                              s2d_space=s2d, cells_out=up_cells,
+                              name=f"up{i}")(h)
+            if s2d or up_cells:
+                h = jax.nn.relu(apply_norm_s2d(self.norm_type, h, feats,
+                                               s2d or up_cells))
             else:
                 h = NormAct(self.norm_type, "relu")(h)
 
@@ -212,12 +226,18 @@ class ResnetGenerator(nn.Module):
         # head fwd+bwd cluster ~3x (kernel 7->10, 2x the MACs, 4x the
         # lanes), so use the largest factor the extent allows (exact either
         # way: the canonical kernel is transformed, not re-trained).
-        head_cells = cells
-        if cells and all(d % 4 == 0 for d in h.shape[1:-1]):
+        if chain:
             head_cells = 4
+            plain_sp = tuple(2 * d for d in h.shape[1:-1])
+        else:
+            plain_sp = h.shape[1:-1]
+            head_cells = cells
+            if cells and all(d % 4 == 0 for d in plain_sp):
+                head_cells = 4
         h = Conv(self.out_channels, k7, padding=3, pad_mode=self.pad_mode,
                  use_bias=use_bias, kernel_init=init, s2d_space=s2d,
-                 to_cells=head_cells, name="out")(h)
+                 to_cells=head_cells, cells_in=2 if chain else 0,
+                 name="out")(h)
         if s2d or cells:
             from ganslate_tpu.ops.s2d_space import decode as _decode
             h = _decode(h, self.out_channels, head_cells if cells else 2)

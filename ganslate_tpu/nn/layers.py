@@ -343,6 +343,12 @@ class Conv(nn.Module):
     s2d_space: int = 0
     to_cells: int = 0
     from_cells: int = 0
+    # With to_cells: the input is ALREADY the c-major cells_in-cell tensor
+    # of the unpadded original (e.g. a ConvTranspose(cells_out=r) output);
+    # padding is realized as whole border cells (reflect/replicate/zeros in
+    # cell space) and the composed stride-(to_cells/cells_in) conv runs
+    # directly — no plain round-trip, no encode.
+    cells_in: int = 0
 
     def _add_bias(self, y: Array, bias: Optional[Array], rn: int = 1) -> Array:
         if bias is None:
@@ -496,6 +502,8 @@ class Conv(nn.Module):
         assert all(s == 1 for s in strides), \
             "to_cells supports stride-1 original convs"
         assert self.feature_group_count == 1
+        if self.cells_in > 1:
+            return self._call_cells_to_cells(x, n, k, pad)
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_features, self.features), jnp.float32)
@@ -549,6 +557,50 @@ class Conv(nn.Module):
                 (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
             y = jax.lax.conv_general_dilated(x, kt, (r,) * n, "VALID",
                                              dimension_numbers=dn)
+        return self._add_bias(y, bias, r ** n)
+
+    def _call_cells_to_cells(self, x: Array, n, k, pad) -> Array:
+        """c-major cells_in-cell input (UNPADDED original) -> c-major
+        to_cells-cell output: the stride-1 original conv's padding is built
+        as whole border cells, then one stride-(to_cells/cells_in) VALID
+        conv of the delta-composed kernel runs. The head of the full cells
+        boundary chain (ConvTranspose(cells_out) -> cell norm -> this)."""
+        from ganslate_tpu.ops import s2d_space as sp
+
+        r, r_in = self.to_cells, self.cells_in
+        assert r > r_in and r % r_in == 0, (r, r_in)
+        rn_in = r_in ** n
+        in_true = x.shape[-1] // rn_in
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, in_true, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+
+        geoms = [sp.to_cells_via_cell_geometry(k[i], r, r_in, pad[i],
+                                               x.shape[1 + i])
+                 for i in range(n)]
+        deltas = {g[2] for g in geoms}
+        assert len(deltas) == 1, \
+            f"cells_in: per-dim deltas must agree, got {sorted(deltas)}"
+        delta = deltas.pop()
+
+        if any(g[0] or g[1] for g in geoms):
+            cell_pads = [(g[0], g[1]) for g in geoms]
+            if self.pad_mode == "reflect":
+                x = sp.reflect_pad_cells(x, in_true, r_in, cell_pads)
+            elif self.pad_mode in ("replicate", "edge"):
+                x = sp.replicate_pad_cells(x, in_true, r_in, cell_pads)
+            else:
+                x = jnp.pad(x, [(0, 0)] + list(cell_pads) + [(0, 0)])
+        kt = _cached_kernel_transform(
+            self, lambda: sp.transform_to_cells_via_kernel(
+                kernel.astype(x.dtype), r, r_in, delta))
+        conv_pads = [(-g[3], 0) for g in geoms]
+        spatial = "DHW"[3 - n:]
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kt.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(x, kt, (r // r_in,) * n, conv_pads,
+                                         dimension_numbers=dn)
         return self._add_bias(y, bias, r ** n)
 
     def _call_from_cells(self, x: Array, n, k, pad, strides) -> Array:
@@ -611,6 +663,11 @@ class ConvTranspose(nn.Module):
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     polyphase: Optional[bool] = None
     s2d_space: int = 0
+    # Produce the c-major r-CELL representation of the output (r == every
+    # stride) via the polyphase conv WITHOUT its depth-to-space interleave —
+    # the zero-relayout producer for a consumer running in cell space
+    # (boundary head chain). Canonical kernel parameter unchanged.
+    cells_out: int = 0
 
     _add_bias = Conv._add_bias
 
@@ -630,6 +687,19 @@ class ConvTranspose(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*k, in_features, self.features), jnp.float32)
+        if self.cells_out > 1:
+            assert all(si == self.cells_out for si in s), \
+                f"cells_out={self.cells_out} needs stride == cell factor, " \
+                f"got {s}"
+            from ganslate_tpu.ops.polyphase_transpose import (
+                polyphase_conv_transpose)
+            y = polyphase_conv_transpose(x, kernel.astype(x.dtype), s, p, op,
+                                         cells_out=True)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = self._add_bias(y, bias, self.cells_out ** n)
+            return y
         if use_polyphase and any(si > 1 for si in s):
             from ganslate_tpu.ops.polyphase_transpose import (
                 polyphase_conv_transpose)

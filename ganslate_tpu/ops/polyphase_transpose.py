@@ -64,11 +64,15 @@ def _phase_plan(k: int, s: int, p: int) -> Tuple[np.ndarray, np.ndarray, int, in
 
 
 def transform_kernel(kernel: jax.Array, strides: Sequence[int],
-                     padding: Sequence[int]) -> jax.Array:
+                     padding: Sequence[int],
+                     cells_major: bool = False) -> jax.Array:
     """(k1..kn, C, O) -> (W1..Wn, C, prod(s)*O) polyphase conv kernel.
 
     Output channel index = ((t1*s2 + t2)*s3 + ...)*O + o, matching
-    `depth_to_space`'s interleave order.
+    `depth_to_space`'s interleave order — or, with ``cells_major``,
+    o*prod(s) + code(t): the c-major CELL order of ops/s2d_space.py, so the
+    conv's raw output IS the r-cell representation of the transposed conv
+    (no interleave needed when the consumer runs in cell space).
     """
     n = kernel.ndim - 2
     ks = kernel.shape[:n]
@@ -85,9 +89,14 @@ def transform_kernel(kernel: jax.Array, strides: Sequence[int],
         mshape[ax], mshape[ax + 1] = u.shape
         k = k * jnp.asarray(valid.reshape(mshape), k.dtype)
 
-    # (W1, t1, ..., Wn, tn, C, O) -> (W1..Wn, C, t1..tn, O)
-    perm = (tuple(range(0, 2 * n, 2)) + (2 * n,) +
-            tuple(range(1, 2 * n, 2)) + (2 * n + 1,))
+    if cells_major:
+        # (W1, t1, ..., Wn, tn, C, O) -> (W1..Wn, C, O, t1..tn)
+        perm = (tuple(range(0, 2 * n, 2)) + (2 * n, 2 * n + 1) +
+                tuple(range(1, 2 * n, 2)))
+    else:
+        # (W1, t1, ..., Wn, tn, C, O) -> (W1..Wn, C, t1..tn, O)
+        perm = (tuple(range(0, 2 * n, 2)) + (2 * n,) +
+                tuple(range(1, 2 * n, 2)) + (2 * n + 1,))
     k = k.transpose(perm)
     ws = k.shape[:n]
     return k.reshape(*ws, c_in, int(np.prod([strides[i] for i in range(n)])) * c_out)
@@ -110,9 +119,16 @@ def depth_to_space(x: jax.Array, factors: Sequence[int]) -> jax.Array:
 
 def polyphase_conv_transpose(x: jax.Array, kernel: jax.Array,
                              strides: Sequence[int], padding: Sequence[int],
-                             output_padding: Sequence[int]) -> jax.Array:
+                             output_padding: Sequence[int],
+                             cells_out: bool = False) -> jax.Array:
     """Transposed conv of channels-last `x` (N, *spatial, C) with canonical
     kernel (k1..kn, C, O), torch ConvTranspose output geometry. Exact.
+
+    ``cells_out``: skip the depth-to-space interleave and return the c-major
+    s-CELL representation (N, out/s.., O*prod(s)) directly — valid when
+    every output extent divides its stride (so no phase-row trim cuts
+    inside a cell). This is the zero-relayout producer for a consumer that
+    runs in the s2d execution space (ops/s2d_space.py channel order).
     """
     n = kernel.ndim - 2
     ks = kernel.shape[:n]
@@ -130,7 +146,11 @@ def polyphase_conv_transpose(x: jax.Array, kernel: jax.Array,
         right = q[i] - 1 + W - L - in_sp[i]
         pads.append((L, max(0, right)))
 
-    kt = transform_kernel(kernel, s, p).astype(x.dtype)
+    if cells_out:
+        assert all(out[i] % s[i] == 0 for i in range(n)), \
+            f"cells_out needs output extents {out} divisible by strides {s}"
+
+    kt = transform_kernel(kernel, s, p, cells_major=cells_out).astype(x.dtype)
     if n > 3:
         raise ValueError(f"polyphase_conv_transpose supports rank <= 3, got {n}")
     spatial = "DHW"[3 - n:]
@@ -139,5 +159,7 @@ def polyphase_conv_transpose(x: jax.Array, kernel: jax.Array,
     y = jax.lax.conv_general_dilated(x, kt, (1,) * n, pads,
                                      dimension_numbers=dn)
     y = y[tuple([slice(None)] + [slice(0, q[i]) for i in range(n)])]
+    if cells_out:
+        return y
     y = depth_to_space(y, s)
     return y[tuple([slice(None)] + [slice(0, out[i]) for i in range(n)])]

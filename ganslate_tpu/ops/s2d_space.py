@@ -537,20 +537,25 @@ def transform_to_cells_kernel(kernel: jax.Array, r: int = 2) -> jax.Array:
 
 
 @lru_cache(maxsize=None)
-def _to_cells_via_plan(k: int, r_out: int, r_in: int) \
+def _to_cells_via_plan(k: int, r_out: int, r_in: int, delta: int = 0) \
         -> Tuple[np.ndarray, np.ndarray, int]:
     """Per-dim plan for `transform_to_cells_via_kernel`: the original
-    stride-1 conv tap is u = r_in*w + psi - phi for cell tap offset w,
-    input (r_in) phase psi, output (r_out) phase phi; valid iff 0 <= u < k.
-    Returns (u, valid, w_first) with shapes (ext, r_in, r_out)."""
-    # u >= 0 -> w >= (phi - psi)/r_in >= -(r_in-1)/r_in -> w_lo = 0;
-    # u <= k-1 -> w <= (k-1 - psi + phi)/r_in <= (k-1 + r_out-1)/r_in.
-    w_lo = 0
-    w_hi = (k - 1 + r_out - 1) // r_in
+    stride-1 conv tap is u = r_in*w + psi - phi - delta for cell tap offset
+    w, input (r_in) phase psi, output (r_out) phase phi; valid iff
+    0 <= u < k. `delta` is the plain-position offset of input cell 0
+    relative to `output origin - original pad` (0 when the cells are built
+    from the exactly-padded plain tensor; r_in*lo_cells - pad when lo_cells
+    of cell-space padding stand in for a plain pad, see
+    `to_cells_via_cell_geometry`). Returns (u, valid, w_first) with shapes
+    (ext, r_in, r_out)."""
+    # u >= 0 -> w >= (phi - psi + delta)/r_in >= (delta - r_in + 1)/r_in;
+    # u <= k-1 -> w <= (k-1 + r_out-1 + delta)/r_in.
+    w_lo = -((r_in - 1 - delta) // r_in)     # ceil((delta - r_in + 1)/r_in)
+    w_hi = (k - 1 + r_out - 1 + delta) // r_in
     w = np.arange(w_lo, w_hi + 1)[:, None, None]
     psi = np.arange(r_in)[None, :, None]
     phi = np.arange(r_out)[None, None, :]
-    u = r_in * w + psi - phi
+    u = r_in * w + psi - phi - delta
     valid = (u >= 0) & (u < k)
     keep = valid.any(axis=(1, 2))
     first = int(np.argmax(keep))
@@ -560,7 +565,7 @@ def _to_cells_via_plan(k: int, r_out: int, r_in: int) \
 
 
 def transform_to_cells_via_kernel(kernel: jax.Array, r_out: int,
-                                  r_in: int) -> jax.Array:
+                                  r_in: int, delta: int = 0) -> jax.Array:
     """(k..k, C, O) -> (ext.., C*r_in^n, O*r_out^n), both channel sides
     c-major: the to-cells boundary conv EXECUTED FROM r_in-CELL INPUT.
 
@@ -581,7 +586,7 @@ def transform_to_cells_via_kernel(kernel: jax.Array, r_out: int,
     n = kernel.ndim - 2
     kr = kernel
     for i in range(n):
-        u, valid, _ = _to_cells_via_plan(kernel.shape[i], r_out, r_in)
+        u, valid, _ = _to_cells_via_plan(kernel.shape[i], r_out, r_in, delta)
         ax = 3 * i
         kr = jnp.take(kr, jnp.asarray(u.reshape(-1)), axis=ax)
         kr = kr.reshape(kr.shape[:ax] + u.shape + kr.shape[ax + 1:])
@@ -610,6 +615,93 @@ def to_cells_via_pads(k: int, r_out: int, r_in: int, in_cells: int) \
     out_cells = (in_cells * r_in - k + 1) // r_out
     hi = (m * (out_cells - 1) + w_first + ext - 1) - (in_cells - 1)
     return -w_first, hi
+
+
+def to_cells_via_cell_geometry(k: int, r_out: int, r_in: int, pad: int,
+                               in_cells: int) -> Tuple[int, int, int, int]:
+    """Geometry for a to-cells conv consuming UNPADDED r_in-cells directly
+    (the `Conv(cells_in=...)` head path): the plain pad is realized as
+    whole border CELLS. Returns (lo_cells, hi_cells, delta, w_first):
+    prepend lo_cells / append hi_cells of border cells (reflect/replicate/
+    zero per pad_mode), then run the stride-(r_out/r_in) VALID conv of
+    `transform_to_cells_via_kernel(..., delta=delta)` shifted by w_first
+    (nonzero w_first folds into the conv's explicit padding as
+    -w_first)."""
+    lo = -(-pad // r_in)                     # ceil: cells covering the pad
+    delta = r_in * lo - pad
+    u, valid, w_first = _to_cells_via_plan(k, r_out, r_in, delta)
+    ext = valid.shape[0]
+    m = r_out // r_in
+    out_orig = in_cells * r_in + 2 * pad - k + 1
+    assert out_orig % r_out == 0, (out_orig, r_out)
+    out_cells = out_orig // r_out
+    # Padded-cell tensor has lo + in_cells + hi cells; the last window is
+    # taps V = m*(out_cells-1) + w_first .. + ext - 1.
+    hi = (m * (out_cells - 1) + w_first + ext - 1) - (lo + in_cells - 1)
+    return lo, max(0, hi), delta, w_first
+
+
+def reflect_pad_cells(x: jax.Array, channels: int, r: int,
+                      pads: Sequence[Tuple[int, int]]) -> jax.Array:
+    """Reflect-padding in s2d space WITHOUT a relayout: each border cell is
+    assembled from (up to r) interior cells via 0/1 phase-routing lane
+    matmuls — reflection maps plain position -j to x[j] (torch
+    ReflectionPad), which in cell coordinates mixes phases across cell
+    boundaries, so each border cell's phase-psi lanes read one interior
+    cell's phase-psi' lanes. Whole-cell borders only: a plain pad p is
+    realized as ceil(p/r) cells whose outermost (never-read by the
+    matching `_to_cells_via_plan(delta=r*lo-p)` conv) positions still hold
+    true reflect values. x: (N, *cells, C*r^n)."""
+    n = x.ndim - 2
+    rn = r ** n
+    assert x.shape[-1] == channels * rn
+    codes = _phase_codes(r, n)
+
+    @lru_cache(maxsize=None)
+    def route_matrix(dim: int, psi_dst: int, psi_src: int) -> bytes:
+        m = np.zeros((channels * rn, channels * rn), np.float32)
+        for j, d in enumerate(codes):
+            if d[dim] != psi_dst:
+                continue
+            src = list(d)
+            src[dim] = psi_src
+            jsrc = int(np.ravel_multi_index(src, (r,) * n))
+            for c in range(channels):
+                m[c * rn + jsrc, c * rn + j] = 1.0
+        return m.tobytes()
+
+    def route(dim, psi_dst, psi_src, dtype):
+        m = np.frombuffer(route_matrix(dim, psi_dst, psi_src),
+                          np.float32).reshape(channels * rn, channels * rn)
+        return jnp.asarray(m, dtype)
+
+    def border_cell(dim, src_plain_of_psi):
+        cell = None
+        for psi in range(r):
+            vp, psi_p = divmod(src_plain_of_psi(psi), r)
+            piece = jax.lax.slice_in_dim(x, vp, vp + 1, axis=1 + dim) \
+                @ route(dim, psi, psi_p, x.dtype)
+            cell = piece if cell is None else cell + piece
+        return cell
+
+    for dim in range(n):
+        lo, hi = pads[dim]
+        if not (lo or hi):
+            continue
+        size = x.shape[1 + dim]
+        parts = []
+        for b in range(lo):
+            # Border cell b covers plain positions r*(b-lo)+psi; reflect
+            # reads x[r*(lo-b)-psi].
+            parts.append(border_cell(dim, lambda psi, b=b: r * (lo - b) - psi))
+        parts.append(x)
+        for b in range(hi):
+            # Cell size+b covers plain r*(size+b)+psi = (S-1)+j with
+            # j = r*b+psi+1; reflect reads x[S-1-j] = x[r*size-2-r*b-psi].
+            parts.append(border_cell(
+                dim, lambda psi, b=b: r * size - 2 - r * b - psi))
+        x = jnp.concatenate(parts, axis=1 + dim)
+    return x
 
 
 # Cell-space data gradient for to-cells convs (see `to_cells_conv`):

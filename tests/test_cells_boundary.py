@@ -226,6 +226,117 @@ def test_resnet2d_cells_boundary_via_encode_exact(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("nd,r,pads", [
+    (2, 2, ((2, 2), (2, 2))), (2, 2, ((1, 2), (2, 1))),
+    (3, 2, ((2, 2), (1, 1), (2, 2))),
+])
+def test_reflect_pad_cells_exact(rng, nd, r, pads):
+    """reflect_pad_cells == encode(reflect-pad(decode(x))) for whole-cell
+    borders (every border position takes its true reflect value)."""
+    from ganslate_tpu.ops.s2d_space import (decode, encode,
+                                            reflect_pad_cells)
+
+    c = 3
+    cells_shape = (2, *([6] * nd), c * r ** nd)
+    xc = jnp.asarray(rng.normal(size=cells_shape).astype(np.float32))
+
+    @jax.jit
+    def run(xc):
+        plain = decode(xc, c, r)
+        padded = jnp.pad(plain, [(0, 0)] + [(r * lo, r * hi) for lo, hi
+                                            in pads] + [(0, 0)],
+                         mode="reflect")
+        want = encode(padded, r)
+        got = reflect_pad_cells(xc, c, r, pads)
+        return want, got
+
+    want, got = run(xc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_conv_transpose_cells_out_exact(rng):
+    """ConvTranspose(cells_out=2) == encode(ConvTranspose(x), 2), same
+    canonical parameters."""
+    from ganslate_tpu.nn.layers import ConvTranspose
+    from ganslate_tpu.ops.s2d_space import encode
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    plain = ConvTranspose(4, (3, 3), strides=2, padding=1, output_padding=1)
+    cells = ConvTranspose(4, (3, 3), strides=2, padding=1, output_padding=1,
+                          cells_out=2)
+    p = jax.jit(plain.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def run(x):
+        return encode(plain.apply(p, x), 2), cells.apply(p, x)
+
+    want, got = run(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "replicate", "zeros"])
+def test_to_cells_cells_in_exact(rng, pad_mode):
+    """Conv(to_cells=4, cells_in=2) on the cell tensor == the plain-input
+    to_cells conv on the decoded tensor — the head of the cells chain."""
+    from ganslate_tpu.ops.s2d_space import encode
+
+    x = jnp.asarray(rng.normal(size=(2, 24, 24, 6)).astype(np.float32))
+    direct = Conv(3, (7, 7), padding=3, pad_mode=pad_mode, to_cells=4)
+    chained = Conv(3, (7, 7), padding=3, pad_mode=pad_mode, to_cells=4,
+                   cells_in=2)
+    p = jax.jit(direct.init)(jax.random.key(0), x)
+
+    def loss_direct(p, x):
+        return jnp.sum(direct.apply(p, x) ** 2)
+
+    def loss_chained(p, x):
+        return jnp.sum(chained.apply(p, encode(x, 2)) ** 2)
+
+    want, gwant = jax.jit(jax.value_and_grad(loss_direct))(p, x)
+    got, ggot = jax.jit(jax.value_and_grad(loss_chained))(p, x)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gwant),
+                    jax.tree_util.tree_leaves(ggot)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_resnet2d_head_cells_chain_exact(rng):
+    """ResnetGenerator(use_cells_boundary) under head_cells_chain == plain,
+    same parameters — forward and parameter gradients (the chain only
+    re-expresses up1 + norm + head execution)."""
+    from ganslate_tpu import flags
+    from ganslate_tpu.nn.generators.resnet.resnet import ResnetGenerator
+
+    kw = dict(in_channels=3, out_channels=3, ngf=8, n_residual_blocks=1,
+              spatial_dims=2)
+    plain = ResnetGenerator(**kw)
+    cells = ResnetGenerator(**kw, use_cells_boundary=True)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    p = jax.jit(plain.init)(jax.random.key(0), x)
+    with flags.override(head_cells_chain=True):
+        pc = jax.jit(cells.init)(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pc))
+
+    with flags.override(head_cells_chain=True):
+        @jax.jit
+        def run(p, x):
+            g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(p)
+            g2 = jax.grad(lambda p: jnp.sum(cells.apply(p, x) ** 2))(p)
+            return plain.apply(p, x), cells.apply(p, x), g1, g2
+
+        want, got, g1, g2 = run(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_to_cells_rejects_indivisible(rng):
     cells = Conv(4, (7, 7), padding=0, to_cells=2)
     x = jnp.zeros((1, 10, 10, 3), jnp.float32)  # out 4x4? 10-7+1=4 ok -> use 9
