@@ -86,6 +86,14 @@ class PerfFlags:
     s2d_decode_dilated: bool = True
     # s2d instance-norm: split stats across the cell axis reduction.
     s2d_stat_split: bool = False
+    # Sliding window: run ALL volumes' windows through the network as one
+    # flat batch axis instead of vmapping the per-volume window loop over
+    # the volume axis. The vmap wraps every network op in a rank+1
+    # (V, batch, ...) view whose standard layout conflicts with the
+    # conv+stat fusions' window-batch-in-sublanes layout (one full-tensor
+    # copy round-trip per level-0 layer — see the layout-conflict repro,
+    # tools/repro_layout_conflict.py); a flat batch keeps one view.
+    sw_flat_batch: bool = False
     # Fold sliding-window cells into the batch axis when cells <= this
     # (0 disables; measured a regression at 28-window batches, kept for
     # re-measurement on future XLA versions).

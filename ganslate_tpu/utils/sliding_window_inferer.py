@@ -338,12 +338,61 @@ class SlidingWindowInferer:
             return (jnp.concatenate(preds, axis=0) if len(preds) > 1
                     else preds[0])
 
+        def collect_preds_static_flat(x, net_params):
+            """ALL volumes' windows through the network as ONE flat batch
+            axis (volume-major grid order), static slices. The per-volume
+            vmap form wraps every network op in a rank+1 (V, batch, ...)
+            view; XLA batches the convs over the flattened axis but keeps
+            the vmapped elementwise/normalize ops on the rank-6 view in
+            standard layout, while the conv+stat fusions want the window
+            batch in sublanes — one full-tensor layout round-trip per
+            level-0 layer (~71 ms/call traced; the isolated chain runs
+            copy-free, tools/repro_layout_conflict.py). One flat view keeps
+            network ops in one layout family. Group size is sw_batch * V —
+            the same effective per-call batch the vmapped form ran."""
+            def apply_net(w):
+                return network(w) if net_params is None else network(net_params, w)
+
+            v = x.shape[0]
+
+            def windows_of(vol):
+                """One group's windows of one volume — static slices, same
+                producer structure as the vmapped path (a flat jnp.stack of
+                56 per-window slices made XLA materialize the fp32 stack in
+                a layout padding the size-1 channel dim into lanes: 212 MB
+                -> 27 GB, OOM)."""
+                return [jnp.stack([
+                    jax.lax.slice(
+                        vol, (*s, 0),
+                        tuple(si + r for si, r in zip(s, roi_t)) + (channels,))
+                    for s in (tuple(int(c) for c in st)
+                              for st in starts[b0:min(b0 + sw_batch,
+                                                      n_windows)])])
+                    for b0 in range(0, n_windows, sw_batch)]
+
+            groups = jax.vmap(windows_of)(x)   # per group: (V, g, *roi, C)
+            preds = []
+            for w in groups:
+                w = w.reshape(v * w.shape[1], *w.shape[2:])
+                if squeeze_depth:
+                    preds.append(apply_net(w[:, 0])[:, None])
+                else:
+                    preds.append(apply_net(w))
+            # Each group's preds are (V * g) volume-major; restore the
+            # (V, windows) split per group, then concat window axes.
+            split = [p.reshape(v, -1, *p.shape[1:]) for p in preds]
+            return (jnp.concatenate(split, axis=1) if len(split) > 1
+                    else split[0])
+
         def blend(preds):
             """(n_windows, *roi, C) -> (*padded, C) by per-axis weighted
             overlap-add over the grid's product structure. When the gaussian
             map doesn't factorize (imp_1d is None) the caller pre-multiplies
             the full map and the passes run unweighted."""
-            t = preds.reshape(*n_pos, *roi_t, channels)
+            # The network may change the channel count (MONAI semantics,
+            # reference utils/sliding_window_inferer.py) — use the
+            # prediction's own channel dim, not the input's.
+            t = preds.reshape(*n_pos, *roi_t, preds.shape[-1])
             for d in reversed(range(rank)):
                 w1d = None if imp_1d is None else imp_1d[d]
                 t = _axis_overlap_add(t, d, 2 * d + 1, starts_per_dim[d],
@@ -365,10 +414,15 @@ class SlidingWindowInferer:
             # traced once.
             use_static_gather = -(-n_windows // sw_batch) <= 4
 
+            from ganslate_tpu.flags import FLAGS
+            flat_batch = FLAGS.sw_flat_batch
+
             @jax.jit
             def run(inputs, net_params):
                 x = jnp.pad(inputs, pad_cfg, constant_values=self.cval)
-                if use_static_gather:
+                if use_static_gather and flat_batch:
+                    preds = collect_preds_static_flat(x, net_params)
+                elif use_static_gather:
                     preds = jax.vmap(collect_preds_static, in_axes=(0, None))(
                         x, net_params)
                 else:
