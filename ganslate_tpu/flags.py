@@ -93,7 +93,9 @@ class PerfFlags:
     # conv+stat fusions' window-batch-in-sublanes layout (one full-tensor
     # copy round-trip per level-0 layer — see the layout-conflict repro,
     # tools/repro_layout_conflict.py); a flat batch keeps one view.
-    sw_flat_batch: bool = False
+    # Measured +23% on the BRaTS V-Net sliding window (2.68 -> 3.29
+    # vols/s, tools/ab.py sw, interleaved).
+    sw_flat_batch: bool = True
     # Fold sliding-window cells into the batch axis when cells <= this
     # (0 disables; measured a regression at 28-window batches, kept for
     # re-measurement on future XLA versions).
