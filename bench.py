@@ -18,15 +18,142 @@ vs_baseline = images_per_sec / 30.0 means 1.0 == the 2x-A100 target.
 An absolute calibration is also printed: MFU from XLA's own FLOP count
 (compiled cost analysis) against v5e bf16 peak (197 TFLOP/s/chip).
 
-Prints ONE JSON line; secondary metrics ride in "extra".
+Capture protocol (the driver records the output tail and parses the last
+JSON line; BENCH_r03/r04 were lost to a relay outage and a wall-clock
+timeout respectively, so this script is now defensive on three axes):
+
+- **Streaming**: a complete, parseable JSON line is printed the moment the
+  train metric exists, then again with the sliding-window numbers merged
+  in. A timeout mid-sliding-window still captures the train number.
+- **Persistent compile cache** (`ganslate_tpu.utils.compile_cache`): the
+  two multi-minute relay compiles are paid once ever; a warm re-run of
+  this script completes in single-digit minutes.
+- **Wall budget** (`BENCH_BUDGET_S`, default 1200 s): timing segments and
+  cost-analysis lowerings are trimmed/skipped when the budget runs short
+  (reported in `extra.trimmed`), and SIGTERM/SIGINT re-emit the last
+  complete JSON line so the tail stays parseable even when killed.
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_LAST_JSON = None
+_TRIMMED = []
+
+
+def _left() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _status(msg: str) -> None:
+    print(f"bench[{int(time.monotonic() - _T0)}s]: {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _emit(train: dict, infer3d: dict | None = None) -> None:
+    """Print the (current) result as one JSON line. Called once when the
+    train metric exists and once more with the sliding-window numbers —
+    the driver parses the LAST line, so each call supersedes the prior."""
+    global _LAST_JSON
+    ips = train["images_per_sec_per_chip"]
+    extra = {k: v for k, v in train.items()
+             if k != "images_per_sec_per_chip"}
+    if infer3d is not None:
+        extra.update(infer3d)
+    else:
+        extra["partial"] = "sliding-window bench pending"
+    # The 30 img/s denominator is 2x a 15 img/s estimate of the reference's
+    # eager per-op A100 pipeline (no published numbers exist). Sensitivity
+    # of the headline ratio to that estimate:
+    extra["vs_baseline_at_a100_10_15_20_imgs"] = [
+        round(ips / (2 * a), 3) for a in (10, 15, 20)]
+    extra["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+    if _TRIMMED:
+        extra["trimmed"] = list(_TRIMMED)
+    _LAST_JSON = json.dumps({
+        "metric": "cyclegan256_train_images_per_sec_per_chip",
+        "value": ips,
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 30.0, 3),
+        "extra": extra,
+    })
+    print(_LAST_JSON, flush=True)
+
+
+def _install_signal_handlers() -> None:
+    def _on_term(signum, frame):
+        if _LAST_JSON is not None:
+            print(_LAST_JSON, flush=True)
+            _status(f"signal {signum}: re-emitted last JSON line, exiting")
+            os._exit(0)
+        _status(f"signal {signum} before any result existed")
+        os._exit(1)
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, _on_term)
+
+
+def _flops_with_timeout(build_lowered, timeout_s: float = 600.0):
+    """Compile + cost_analysis bounded by a timeout and backed by a disk
+    cache keyed on the lowered HLO text.
+
+    The costing compiles are pure calibration (model FLOPs for the MFU
+    line) — they must never endanger the headline capture. Observed on the
+    relay transport: a single-step costing compile RPC blocked >30 min
+    while the same-size k=8 training program compiled in 200 s, which
+    would have eaten the whole driver budget. The compile runs in a daemon
+    thread; on timeout the bench moves on without the calibration (the
+    thread stays blocked in the RPC and dies with the process), and a
+    successful count is cached on disk so it is computed once per program,
+    ever."""
+    import hashlib
+    import threading
+
+    lowered = build_lowered()
+    key = hashlib.sha256(lowered.as_text().encode()).hexdigest()
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache", "flops_cache.json")
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    if key in cache:
+        return cache[key]
+
+    result = {}
+
+    def work():
+        try:
+            cost = lowered.compile().cost_analysis()
+            if cost and cost.get("flops"):
+                result["flops"] = float(cost["flops"])
+                result["bytes"] = float(cost.get("bytes accessed", 0.0))
+        except Exception:
+            pass
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout=min(timeout_s, max(30.0, _left() - 60.0)))
+    if "flops" not in result:
+        _TRIMMED.append("costing:timeout_or_failed")
+        return None
+    cache[key] = result
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    except Exception:
+        pass
+    return result
 
 
 def _sync(model):
@@ -77,47 +204,69 @@ def bench_cyclegan_train():
     model.setup(example_batch=batches[0])
     model.set_input_multi(batches)
 
+    _status("train: compiling + warmup (cached after first ever run)")
     for _ in range(warmup):
         model.optimize_parameters()
     _sync(model)
+    _status("train: warm, timing")
 
     # Median-of-segments: the relay transport adds per-dispatch jitter, so a
     # single timed run can swing several percent run-to-run (the r2 driver
     # captured 68.2 where the builder measured 68.6). The median over
     # `segments` independently-fenced segments is what the docs may claim.
     seg_times = []
-    for _ in range(segments):
+    for i in range(segments):
         start = time.perf_counter()
         for _ in range(iters):
             model.optimize_parameters()
         _sync(model)
         seg_times.append((time.perf_counter() - start)
                          / (iters * steps_per_dispatch))
+        # Trim remaining segments when the budget runs short; the median
+        # over fewer segments is reported with its (wider) spread honestly.
+        if i >= 1 and _left() < 10 * iters * steps_per_dispatch * min(seg_times):
+            _TRIMMED.append(f"train_segments:{i + 1}/{segments}")
+            break
     step_seconds = float(np.median(seg_times))
     spread_pct = 100.0 * (max(seg_times) - min(seg_times)) / step_seconds
 
     n_chips = jax.device_count()
     images_per_sec = batch_size / step_seconds / n_chips
 
-    # MFU: XLA's own FLOP count for the full fused step vs chip peak.
-    mfu = None
-    step_tflops = None
-    try:
-        one_batch = jax.tree_util.tree_map(lambda a: a[0], model._batch)
-        lowered = jax.jit(model.make_train_step()).lower(model.state, one_batch)
-        cost = lowered.compile().cost_analysis()
-        if cost and cost.get("flops"):
-            step_tflops = float(cost["flops"]) / 1e12
-            mfu = float(cost["flops"]) / step_seconds / V5E_BF16_PEAK_FLOPS / n_chips
-    except Exception:
-        pass
-
     return {
         "images_per_sec_per_chip": round(images_per_sec, 2),
         "step_seconds": round(step_seconds, 4),
         "step_seconds_spread_pct": round(spread_pct, 1),
+        "timed_segments": len(seg_times),
         "batch_size": batch_size,
         "steps_per_dispatch": steps_per_dispatch,
+    }, model
+
+
+def bench_train_mfu(model, step_seconds: float) -> dict:
+    """MFU: XLA's own FLOP count for the full fused step vs chip peak.
+    Separate from the timing (and emitted as a follow-up line) because the
+    single-step costing lowering is its own multi-minute relay compile on a
+    cold cache — the throughput headline must not wait behind it."""
+    import jax
+    mfu = None
+    step_tflops = None
+    if _left() > 120:
+        _status("train: MFU costing (disk-cached per program)")
+
+        def build():
+            one_batch = jax.tree_util.tree_map(lambda a: a[0], model._batch)
+            return jax.jit(model.make_train_step()).lower(
+                model.state, one_batch)
+
+        cost = _flops_with_timeout(build)
+        if cost:
+            step_tflops = cost["flops"] / 1e12
+            mfu = cost["flops"] / step_seconds \
+                / V5E_BF16_PEAK_FLOPS / jax.device_count()
+    else:
+        _TRIMMED.append("train_mfu_costing:skipped")
+    return {
         "train_step_tflops": round(step_tflops, 2) if step_tflops else None,
         "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
     }
@@ -177,19 +326,31 @@ def bench_vnet3d_sliding_window():
     inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=28,
                                    overlap=0.25, mode="gaussian")
     rng = np.random.default_rng(0)
-    vol = jnp.asarray(rng.uniform(-1, 1, volume_shape).astype(np.float32))
+    # bf16 volumes end-to-end: the serving wire format
+    # (engines/base.py:_to_wire, default for infer mode). Bit-identical to
+    # the fp32 volume + in-network cast (the down-cast commutes with the
+    # window gather; tests/test_sliding_window.py), and it keeps the
+    # device-resident and host-e2e segments on ONE compiled program.
+    import ml_dtypes
+    vol_host_f32 = rng.uniform(-1, 1, volume_shape).astype(np.float32)
+    vol = jnp.asarray(vol_host_f32.astype(ml_dtypes.bfloat16))
 
+    _status("sw: compiling (cached after first ever run)")
     out = inferer(vol, network, pc)   # compile
     float(jax_device_get(out.ravel()[0]))
     out = inferer(vol, network, pc)   # warmup (caches hot)
     float(jax_device_get(out.ravel()[0]))
+    _status("sw: warm, timing")
 
     call_times = []
-    for _ in range(repeats):
+    for i in range(repeats):
         start = time.perf_counter()
         out = inferer(vol, network, pc)
         float(jax_device_get(out.ravel()[0]))
         call_times.append(time.perf_counter() - start)
+        if i >= 2 and _left() < 10 * min(call_times):
+            _TRIMMED.append(f"sw_repeats:{i + 1}/{repeats}")
+            break
     call_s = float(np.median(call_times))
     sw_spread_pct = 100.0 * (max(call_times) - min(call_times)) / call_s
 
@@ -202,19 +363,23 @@ def bench_vnet3d_sliding_window():
     # overlaps transfer with compute without threads (pipeline depth 2).
     # Fuller sweep incl. serial mode + transfer rates: tools/bench_e2e_sw.py.
     rng_h = np.random.default_rng(1)
+    # bf16 wire both directions (predictions down-cast on device before
+    # D2H, upcast on the host): halves the round-trip bytes on a
+    # transport-bound path — measured rates below carry the evidence.
     host_vols = [rng_h.uniform(-1, 1, volume_shape).astype(np.float32)
-                 for _ in range(4)]
+                 .astype(ml_dtypes.bfloat16) for _ in range(4)]
 
     # Transfer-rate probes: the e2e number is transport-bound through the
-    # relay tunnel (20-50 MB/s vs 220 MB round-trip per volume pair) — record
-    # the measured H2D/D2H rates so the judged artifact carries the evidence.
+    # relay tunnel (measured rates land in sw_h2d_mbps / sw_d2h_mbps below;
+    # sw_transfer_mb_per_call is the per-call round-trip WIRE volume, bf16)
+    # — record them so the judged artifact carries the evidence.
     in_bytes = host_vols[0].nbytes
     t0 = time.perf_counter()
     d = jax.device_put(host_vols[0])
     float(jax_device_get(d.ravel()[0]))
     h2d_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out_host = np.asarray(out)
+    out_host = np.asarray(out.astype(jnp.bfloat16))
     d2h_s = time.perf_counter() - t0
     out_bytes = out_host.nbytes
     del d, out_host
@@ -222,12 +387,13 @@ def bench_vnet3d_sliding_window():
     start = time.perf_counter()
     inflight, n_done = [], 0
     for hv in host_vols:
-        inflight.append(inferer(jax.device_put(hv), network, pc))
+        inflight.append(
+            inferer(jax.device_put(hv), network, pc).astype(jnp.bfloat16))
         if len(inflight) > 2:
-            np.asarray(inflight.pop(0))
+            np.asarray(inflight.pop(0)).astype(np.float32)
             n_done += 1
     while inflight:
-        np.asarray(inflight.pop(0))
+        np.asarray(inflight.pop(0)).astype(np.float32)
         n_done += 1
     e2e_s = (time.perf_counter() - start) / n_done
     e2e_vols_per_sec = volume_shape[0] / e2e_s
@@ -235,10 +401,12 @@ def bench_vnet3d_sliding_window():
     result = {
         "vnet3d_sliding_window_vols_per_sec": round(vols_per_sec, 3),
         "sw_call_spread_pct": round(sw_spread_pct, 1),
+        "sw_timed_repeats": len(call_times),
         "sw_end_to_end_host_vols_per_sec": round(e2e_vols_per_sec, 3),
         "sw_h2d_mbps": round(in_bytes / h2d_s / 1e6, 1),
         "sw_d2h_mbps": round(out_bytes / d2h_s / 1e6, 1),
         "sw_transfer_mb_per_call": round((in_bytes + out_bytes) / 1e6, 1),
+        "sw_wire_dtype": "bfloat16",
         "volume_shape": list(volume_shape[1:-1]),
         "volume_batch": volume_shape[0],
         "window": list(roi),
@@ -250,23 +418,26 @@ def bench_vnet3d_sliding_window():
     # lowering: cost_analysis counts a lax.scan body ONCE, which
     # under-reported the round-1 numbers by the trip counts (23.8 "TF" was
     # really ~48). (lax.scan accepts bool unroll = unroll-everything.)
-    try:
-        from ganslate_tpu import flags
-        with flags.override(scan_unroll=True):
-            fwd = jax.jit(lambda p, x: network(p, x))
-            cost = fwd.lower(pc, jnp.zeros((28, *roi, 1),
-                                           jnp.float32)).compile().cost_analysis()
+    if _left() > 120:
+        _status("sw: fwd costing (disk-cached per program)")
+
+        def build():
+            from ganslate_tpu import flags
+            with flags.override(scan_unroll=True):
+                fwd = jax.jit(lambda p, x: network(p, x))
+                return fwd.lower(pc, jnp.zeros((28, *roi, 1), jnp.float32))
+
+        cost = _flops_with_timeout(build)
         if cost:
-            result["window_fwd_tflops_batch28"] = round(cost.get("flops", 0) / 1e12, 2)
+            result["window_fwd_tflops_batch28"] = round(cost["flops"] / 1e12, 2)
             result["window_fwd_hbm_gb_batch28"] = round(
-                cost.get("bytes accessed", 0) / 1e9, 1)
-    except Exception:
-        pass
+                cost.get("bytes", 0) / 1e9, 1)
+    else:
+        _TRIMMED.append("sw_fwd_costing:skipped")
     return result
 
 
-def _probe_backend(timeout_s: int = 90, retry_for_s: int = 900,
-                   retry_every_s: int = 60) -> str:
+def _probe_backend(timeout_s: int = 90, retry_every_s: int = 60) -> str:
     """Fail fast (with a diagnostic) instead of hanging when the TPU relay
     endpoint is down: jax.devices() on the relay transport blocks
     INDEFINITELY if the tunnel is broken, which would hang the whole bench.
@@ -274,10 +445,11 @@ def _probe_backend(timeout_s: int = 90, retry_for_s: int = 900,
 
     The relay tunnel occasionally drops for minutes at a time (BENCH_r03 was
     lost to exactly this), so a failed probe is retried every `retry_every_s`
-    for up to `retry_for_s` before giving up — a transient outage must not
-    cost the round its one judged artifact."""
+    — but never past the wall budget (BENCH_r04 was lost to a TIMEOUT, so
+    probe retries must not eat the whole budget either): up to 900 s or
+    whatever the budget leaves after reserving 120 s for the benches."""
     import subprocess
-    import sys
+    retry_for_s = min(900, max(60, _left() - 120))
     deadline = time.monotonic() + retry_for_s
     attempt = 0
     while True:
@@ -300,33 +472,30 @@ def _probe_backend(timeout_s: int = 90, retry_for_s: int = 900,
                 f"{retry_for_s}s — last failure: {reason}. The TPU relay "
                 "endpoint is down; re-run when the chip is back, or force "
                 "JAX_PLATFORMS=cpu.")
-        print(f"bench: backend probe attempt {attempt} failed ({reason}); "
-              f"retrying in {retry_every_s}s "
-              f"({int(remaining)}s left before giving up)",
-              file=sys.stderr, flush=True)
+        _status(f"backend probe attempt {attempt} failed ({reason}); "
+                f"retrying in {retry_every_s}s "
+                f"({int(remaining)}s left before giving up)")
         time.sleep(min(retry_every_s, max(1.0, remaining)))
 
 
 def main():
+    _install_signal_handlers()
+    from ganslate_tpu.utils import compile_cache
+    cache_dir = compile_cache.enable()
+    _status(f"budget {int(_BUDGET_S)}s; persistent compile cache at {cache_dir}")
     _probe_backend()
-    train = bench_cyclegan_train()
+    train, model = bench_cyclegan_train()
+    _emit(train)                      # partial line: train metric is safe now
+    train.update(bench_train_mfu(model, train["step_seconds"]))
+    del model
+    _emit(train)                      # + MFU calibration
     infer3d = bench_vnet3d_sliding_window()
-    ips = train["images_per_sec_per_chip"]
-    print(json.dumps({
-        "metric": "cyclegan256_train_images_per_sec_per_chip",
-        "value": ips,
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / 30.0, 3),
-        "extra": {
-            **{k: v for k, v in train.items() if k != "images_per_sec_per_chip"},
-            **infer3d,
-            # The 30 img/s denominator is 2x a 15 img/s estimate of the
-            # reference's eager per-op A100 pipeline (no published numbers
-            # exist). Sensitivity of the headline ratio to that estimate:
-            "vs_baseline_at_a100_10_15_20_imgs": [
-                round(ips / (2 * a), 3) for a in (10, 15, 20)],
-        },
-    }))
+    _emit(train, infer3d)             # final line supersedes the partial ones
+    _status("done")
+    sys.stdout.flush()
+    # Hard exit: a costing thread that timed out may still be blocked in a
+    # relay compile RPC; interpreter teardown must not wait on it.
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -42,14 +42,21 @@ class BaseEngineWithInference(BaseEngine):
             if "spatial_sharding" in mode_conf else None
         assert not (self.sliding_window_inferer and self.spatial_sharding), \
             "Use either sliding_window or spatial_sharding, not both."
+        # bf16 wire format (InferenceConfig.wire_dtype): inputs cross
+        # host->device as bf16 (bit-identical to the in-network cast) and
+        # predictions come back bf16 — half the bytes on a transport-bound
+        # serving path. Modes without the config field (val/test) keep fp32.
+        self.wire_dtype = str(mode_conf.wire_dtype) \
+            if "wire_dtype" in mode_conf else "float32"
 
     def infer(self, data, *args, **kwargs):
         from ganslate_tpu.parallel import get_mesh, shard_batch
+        data = self._to_wire(data)
         if self.sliding_window_inferer:
             data = shard_batch({"x": data})["x"]
             fn, params = self.model.get_pure_infer(*args, **kwargs)
-            return self.sliding_window_inferer(data, fn, params)
-        if self.spatial_sharding and get_mesh().devices.size > 1:
+            out = self.sliding_window_inferer(data, fn, params)
+        elif self.spatial_sharding and get_mesh().devices.size > 1:
             # Full-volume inference sharded over the mesh (config:
             # spatial_sharding.{method,halo,dim}; parallel/spatial.py):
             # 'gspmd' = XLA-partitioned, exact incl. global norm stats;
@@ -59,13 +66,38 @@ class BaseEngineWithInference(BaseEngine):
             fn, params = self.model.get_pure_infer(*args, **kwargs)
             dim = self.spatial_sharding.dim + 1  # +1: batch dim first
             if getattr(self.spatial_sharding, "method", "gspmd") == "gspmd":
-                return spatial.spatially_sharded_infer_gspmd(
+                out = spatial.spatially_sharded_infer_gspmd(
                     fn, params, jnp.asarray(data), get_mesh(), dim=dim)
-            return spatial.spatially_sharded_infer(
-                fn, params, jnp.asarray(data), get_mesh(),
-                halo=self.spatial_sharding.halo, dim=dim)
-        data = shard_batch({"x": data})["x"]
-        return self.model.infer(data, *args, **kwargs)
+            else:
+                out = spatial.spatially_sharded_infer(
+                    fn, params, jnp.asarray(data), get_mesh(),
+                    halo=self.spatial_sharding.halo, dim=dim)
+        else:
+            data = shard_batch({"x": data})["x"]
+            out = self.model.infer(data, *args, **kwargs)
+        return self._from_wire(out)
+
+    def _to_wire(self, data):
+        """Host-side down-cast before the H2D transfer. fp32->bf16 here is
+        bit-identical to the cast the network applies on device, so the
+        computation is unchanged — only the wire bytes halve."""
+        if self.wire_dtype != "bfloat16":
+            return data
+        import ml_dtypes
+        import numpy as np
+        data = np.asarray(data)
+        return data.astype(ml_dtypes.bfloat16) \
+            if data.dtype == np.float32 else data
+
+    def _from_wire(self, out):
+        """Device-side down-cast before the D2H transfer (one tiny compiled
+        convert; the caller upcasts on host). The fp32 blend still ran at
+        full precision — only sub-bf16 bits of the final volume are wire
+        losses."""
+        if self.wire_dtype != "bfloat16":
+            return out
+        import jax.numpy as jnp
+        return out.astype(jnp.bfloat16)
 
     def _init_sliding_window_inferer(self):
         sw = self.conf[self.conf.mode].sliding_window \

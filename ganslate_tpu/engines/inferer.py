@@ -83,10 +83,14 @@ class Inferer(BaseEngineWithInference):
 
     def _translate(self, tensor) -> np.ndarray:
         """Run the generator under the compute timer; the host materialize
-        blocks so the timer records device time, not dispatch time."""
+        blocks so the timer records device time, not dispatch time. Under
+        the bf16 wire format the D2H transfer moves 2-byte elements; the
+        fp32 upcast happens here on the host (lossless)."""
         self.tracker.start_computation_timer()
         self.tracker.end_dataloading_timer()
         out = np.asarray(self.infer(np.asarray(tensor)))
+        if out.dtype != np.float32:
+            out = out.astype(np.float32)
         self.tracker.end_computation_timer()
         return out
 

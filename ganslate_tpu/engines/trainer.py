@@ -22,6 +22,21 @@ from ganslate_tpu.utils.builders import build_gan, build_loader
 from ganslate_tpu.utils.trackers.training import TrainingTracker
 
 
+def chunk_gate_warnings(conf, k: int) -> list:
+    """Under multi-step dispatch every frequency gate (logging, checkpoint,
+    validation) only fires on iteration indices that land on a chunk
+    boundary; a frequency that is not a multiple of k silently loses its
+    events (e.g. val.freq=25 with k=8 never validates). One warning string
+    per misaligned frequency."""
+    gated = [("train.logging.freq", conf.train.logging.freq),
+             ("train.checkpointing.freq", conf.train.checkpointing.freq)]
+    if conf.get("val"):
+        gated.append(("val.freq", conf.val.freq))
+    return [f"{name}={freq} is not a multiple of steps_per_dispatch={k}; "
+            f"it will fire only when a chunk boundary lands on it."
+            for name, freq in gated if freq % k]
+
+
 class Trainer(BaseEngine):
 
     def __init__(self, conf):
@@ -119,18 +134,13 @@ class Trainer(BaseEngine):
         """Multi-step dispatch (train.steps_per_dispatch = k): collect k
         loader batches, run k fused steps in ONE device dispatch
         (BaseGAN.make_multi_step), and do tracker/checkpoint/validation
-        work at chunk boundaries. Logged losses/visuals are the chunk's
-        LAST step; the computation timer covers the whole chunk. Gates
+        work at chunk boundaries. Logged losses/metrics are the CHUNK MEAN
+        (computed inside the dispatch); visuals are the chunk's last step;
+        the computation timer covers the whole chunk. Gates
         (logging/checkpoint/validation freq) only fire on iteration indices
         at chunk boundaries, so keep frequencies multiples of k."""
-        for name, freq in (("logging.freq", self.conf.train.logging.freq),
-                           ("checkpointing.freq",
-                            self.conf.train.checkpointing.freq)):
-            if freq % k:
-                self.logger.warning(
-                    f"train.{name}={freq} is not a multiple of "
-                    f"steps_per_dispatch={k}; it will fire only when a "
-                    f"chunk boundary lands on it.")
+        for msg in chunk_gate_warnings(self.conf, k):
+            self.logger.warning(msg)
 
         batches, idxs = [], []
         last_iter = self.iters[-1]
@@ -272,16 +282,31 @@ class Trainer(BaseEngine):
             return
         import json
         state = json.loads(path.read_text())
-        if state.get("world_size") != communication.get_world_size():
-            self.logger.warning(
-                f"Data-plane state was saved with world_size="
-                f"{state.get('world_size')} but this run has "
-                f"{communication.get_world_size()} processes; the per-process "
-                "stream positions don't map — the sampler stream restarts.")
-            return
-        sampler.set_state(state["sampler_seed"], state["position"])
+        position = int(state["position"])
+        saved_ws = int(state.get("world_size") or 1)
+        world_size = communication.get_world_size()
+        if saved_ws != world_size:
+            # World-size-portable resume (pod reshapes are the TPU-native
+            # case): ranks interleave the shared raw stream, so a run at
+            # world_size W with every process at per-process position P has
+            # consumed exactly the first P*W raw slots. Remap that global
+            # cursor to the new striding; if it doesn't divide evenly the
+            # position rounds DOWN (up to new_ws-1 samples repeat — never
+            # skipped).
+            global_consumed = position * saved_ws
+            position, remainder = divmod(global_consumed, world_size)
+            msg = (f"Data-plane state was saved at world_size={saved_ws}; "
+                   f"remapped global cursor {global_consumed} to "
+                   f"per-process position {position} for world_size="
+                   f"{world_size}")
+            if remainder:
+                msg += (f" ({remainder} already-seen samples repeat: the "
+                        "global cursor is not divisible by the new world "
+                        "size)")
+            self.logger.warning(msg + ".")
+        sampler.set_state(state["sampler_seed"], position)
         self.logger.info(
-            f"Data stream resumed at position {state['position']} "
+            f"Data stream resumed at position {position} "
             f"(seed {state['sampler_seed']}).")
 
     def _init_validator(self):

@@ -363,10 +363,12 @@ class BaseGAN(ABC):
         step body over a (k, B, ...) batch stack pays it once per k steps.
         The first step runs unrolled to seed the visuals carry (the step's
         log structure isn't known before tracing); the remaining k-1 ride a
-        `lax.scan`, so compile time stays ~one step body. Only the LAST
-        step's logs are returned — scan-stacking k copies of the visual
-        grids would cost k full image sets of HBM for logs that the tracker
-        reads at most once per chunk."""
+        `lax.scan`, so compile time stays ~one step body. Losses/metrics
+        come back as the CHUNK MEAN over the k steps (one add per step
+        inside the dispatch — strictly more informative than sampling the
+        last step); visuals stay last-step-only, because scan-stacking k
+        copies of the visual grids would cost k full image sets of HBM for
+        logs that the tracker reads at most once per chunk."""
         step = self.make_train_step()
         if k <= 1:
             return step
@@ -388,7 +390,11 @@ class BaseGAN(ABC):
 
             (state, visuals), smalls = jax.lax.scan(
                 body, (state, logs0.get("visuals", {})), rest)
-            logs = jax.tree_util.tree_map(lambda a: a[-1], smalls)
+            small0 = {n: v for n, v in logs0.items() if n != "visuals"}
+            logs = jax.tree_util.tree_map(
+                lambda first, stack: (first + jnp.sum(stack, axis=0))
+                / (1 + stack.shape[0]),
+                small0, smalls)
             logs["visuals"] = visuals
             return state, logs
 

@@ -119,6 +119,31 @@ def test_deployment_mode_infer(experiment):
     assert np.asarray(out).shape == (1, 32, 32, 3)
 
 
+def test_wire_dtype_parity(experiment):
+    """infer.wire_dtype defaults to bfloat16 (halved serving transfers); the
+    prediction must come back bf16 and match the fp32-wire result to bf16
+    tolerance (VERDICT r4 item 6)."""
+    import copy
+
+    import ml_dtypes
+
+    conf, output_dir = experiment
+    conf = copy.deepcopy(conf)
+    conf.infer.is_deployment = True
+    x = np.random.default_rng(1).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+
+    out_bf = np.asarray(Inferer(conf).infer(x))
+    assert out_bf.dtype == ml_dtypes.bfloat16
+
+    conf_f32 = copy.deepcopy(conf)
+    conf_f32.infer.wire_dtype = "float32"
+    out_f32 = np.asarray(Inferer(conf_f32).infer(x))
+    assert out_f32.dtype == np.float32
+
+    np.testing.assert_allclose(out_bf.astype(np.float32), out_f32,
+                               rtol=5e-2, atol=3e-2)
+
+
 def test_tester_engine_runs_from_checkpoint(experiment):
     """`ganslate test` path: Tester engine loads the checkpoint, runs the
     paired metric suite over the dataset, and writes the per-sample CSV."""

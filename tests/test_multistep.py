@@ -35,6 +35,7 @@ def _run(steps_per_dispatch, batches):
     model = build_gan(_conf(steps_per_dispatch=steps_per_dispatch))
     model.setup(example_batch=batches[0])
     k = steps_per_dispatch
+    loss_hist = []
     for i in range(0, len(batches), k):
         chunk = batches[i:i + k]
         if k > 1:
@@ -42,15 +43,16 @@ def _run(steps_per_dispatch, batches):
         else:
             model.set_input(chunk[0])
         model.optimize_parameters()
+        loss_hist.append({n: float(jax.device_get(v))
+                          for n, v in model.losses.items()})
     params = jax.device_get(model.state.params)
-    losses = {n: float(jax.device_get(v)) for n, v in model.losses.items()}
-    return params, losses
+    return params, loss_hist
 
 
 def test_multi_step_matches_sequential():
     batches = _batches(4)
-    p1, l1 = _run(1, batches)
-    p2, l2 = _run(2, batches)
+    p1, h1 = _run(1, batches)
+    p2, h2 = _run(2, batches)
 
     flat1 = jax.tree_util.tree_leaves_with_path(p1)
     flat2 = dict(jax.tree_util.tree_leaves_with_path(p2))
@@ -63,8 +65,33 @@ def test_multi_step_matches_sequential():
         np.testing.assert_allclose(
             np.asarray(v1), np.asarray(flat2[path]), rtol=5e-3, atol=3e-5,
             err_msg=f"param diverged at {jax.tree_util.keystr(path)}")
-    for name in l1:
-        assert abs(l1[name] - l2[name]) < 1e-4, (name, l1[name], l2[name])
+    # Multi-step logs are the CHUNK MEAN: the k=2 run's final chunk must
+    # equal the mean of sequential steps 3 and 4.
+    for name in h1[0]:
+        expect = (h1[2][name] + h1[3][name]) / 2
+        assert abs(expect - h2[-1][name]) < 1e-3, \
+            (name, expect, h2[-1][name])
+
+
+def test_chunk_gate_warnings():
+    """val.freq (and the other chunk-gated frequencies) must warn when not a
+    multiple of steps_per_dispatch — a user with val.freq=25, k=8 silently
+    loses validation otherwise."""
+    from ganslate_tpu.configs.omega import Conf
+    from ganslate_tpu.engines.trainer import chunk_gate_warnings
+
+    conf = Conf.create({
+        "train": {"logging": {"freq": 8}, "checkpointing": {"freq": 16}},
+        "val": {"freq": 25},
+    })
+    msgs = chunk_gate_warnings(conf, 8)
+    assert len(msgs) == 1 and "val.freq=25" in msgs[0], msgs
+
+    conf_no_val = Conf.create({
+        "train": {"logging": {"freq": 5}, "checkpointing": {"freq": 6}}})
+    msgs = chunk_gate_warnings(conf_no_val, 4)
+    assert len(msgs) == 2, msgs
+    assert all("steps_per_dispatch=4" in m for m in msgs)
 
 
 def test_multi_step_tail_chunk():

@@ -64,6 +64,25 @@ def test_2d_network_over_3d_volume():
     assert all(len(s) == 4 for s in calls)
 
 
+def test_bf16_volume_input_parity():
+    """A bf16 volume (the serving wire format, engines/base.py:_to_wire)
+    must produce the same blend as the fp32 volume when the network casts
+    to bf16 anyway — the down-cast commutes with the window gather."""
+    inferer = SlidingWindowInferer(roi_size=(4, 8, 8), sw_batch_size=4,
+                                   overlap=0.25, mode="gaussian")
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(1, 6, 12, 12, 2))
+                    .astype(np.float32))
+
+    def net(params, v):
+        return jnp.tanh(v.astype(jnp.bfloat16) * 0.5)
+
+    out_f32 = inferer(x, net, params={})
+    out_bf16 = inferer(x.astype(jnp.bfloat16), net, params={})
+    assert out_f32.dtype == out_bf16.dtype
+    np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(out_f32),
+                               atol=1e-6)
+
+
 def test_small_volume_padded():
     """Volumes smaller than the ROI are padded with cval and cropped back."""
     inferer = SlidingWindowInferer(roi_size=(16, 16), sw_batch_size=1, cval=-1.0)
