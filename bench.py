@@ -201,11 +201,15 @@ def bench_cyclegan_train():
         })
 
     model = build_gan(conf)
+    _status("train: init params")
     model.setup(example_batch=batches[0])
     model.set_input_multi(batches)
 
-    _status("train: compiling + warmup (cached after first ever run)")
-    for _ in range(warmup):
+    _status("train: compile dispatch (cached after first ever run)")
+    model.optimize_parameters()
+    _status("train: first-step sync")
+    _sync(model)
+    for _ in range(warmup - 1):
         model.optimize_parameters()
     _sync(model)
     _status("train: warm, timing")

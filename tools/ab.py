@@ -151,6 +151,8 @@ SUBJECTS = {"train": (build_train, TRAIN_KNOBS, "img/s"),
 
 
 def main():
+    from ganslate_tpu.utils import compile_cache
+    compile_cache.enable()
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("subject", choices=SUBJECTS)
     ap.add_argument("--variant", action="append", default=[],

@@ -189,6 +189,8 @@ if __name__ == "__main__":
         trace_dir, hlo_path = sys.argv[2], sys.argv[3]
         attribute(trace_dir, open(hlo_path).read())
         sys.exit(0)
+    from ganslate_tpu.utils import compile_cache
+    compile_cache.enable()
     model = build_model()
     hlo_text = dump_hlo(model, "/tmp/train_step_hlo.txt")
     trace_dir = f"/tmp/attr_train_{int(time.time())}"

@@ -98,6 +98,8 @@ def dump(trace_dir, reps=1, top=40):
 
 
 def main():
+    from ganslate_tpu.utils import compile_cache
+    compile_cache.enable()
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("subject", choices=[*SUBJECTS, "agg"])
     ap.add_argument("trace_dir", nargs="?",
