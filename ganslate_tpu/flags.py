@@ -100,6 +100,14 @@ class PerfFlags:
     # (0 disables; measured a regression at 28-window batches, kept for
     # re-measurement on future XLA versions).
     fold_max_cells: int = 0
+    # V-Net s2d input block: run norm + channel-repeat residual + PReLU as
+    # ONE f32 pass inside group_instance_norm. OFF: measured -2.2% on the
+    # 28-window BRaTS sliding window (3.24 vs 3.31 vols/s interleaved) —
+    # the separate-op chain (tile materialization + layout copy + orphaned
+    # select, 18.6 ms in the trace) is load-bearing for XLA's surrounding
+    # fusion/layout choices; the fused pass costs more than it saves.
+    # Exactness-tested either way; kept for re-measurement.
+    vnet_stem_fused: bool = False
     # Pallas instance-norm kernel (off: XLA's fused stats won on the
     # measured shapes; kept where measured to win).
     inorm_pallas: bool = False

@@ -105,13 +105,24 @@ class InputBlock(nn.Module):
         out = conv(self.out_channels, 5, padding=2, use_bias=use_bias,
                    bias_inert=inert_bias(self.norm_type),
                    kernel_init=self.kernel_init, name="conv1")(x)
-        out = _apply_norm(self.norm_type, out, self.out_channels, self.s2d)
         # Residual channel-repeat: exact in c-major s2d space too (tiling the
         # (c, d) channel vector == s2d of the original channel tile).
         n_repeats = self.out_channels // self.in_channels
+        rn = self.s2d ** self.spatial_dims
+        from ganslate_tpu.flags import FLAGS
+        if self.s2d > 1 and self.norm_type == "instance" \
+                and FLAGS.vnet_stem_fused:
+            # One f32 pass for norm + channel-repeat residual + PReLU.
+            # Default OFF (flags.vnet_stem_fused): the unfused chain costs
+            # 18.6 ms/call in the trace (tile + layout copy + orphaned
+            # select) but fusing it measured -2.2% END TO END on the BRaTS
+            # sliding window — those separate ops are load-bearing for
+            # XLA's surrounding fusion/layout choices.
+            return PReLU(self.out_channels, s2d_rn=rn, fused_norm=True)(
+                out, residual=x, residual_tile=n_repeats)
+        out = _apply_norm(self.norm_type, out, self.out_channels, self.s2d)
         out = out + jnp.tile(x, (1,) * (x.ndim - 1) + (n_repeats,))
-        return PReLU(self.out_channels,
-                     s2d_rn=self.s2d ** self.spatial_dims)(out)
+        return PReLU(self.out_channels, s2d_rn=rn)(out)
 
 
 class _DownConv(nn.Module):

@@ -970,7 +970,8 @@ class PReLU(nn.Module):
     fused_norm: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, residual: Optional[Array] = None,
+                 residual_tile: int = 1) -> Array:
         shape = (self.features,) if self.features else (1,)
         slope = self.param("slope", nn.initializers.constant(self.init_slope),
                            shape, jnp.float32)
@@ -979,7 +980,10 @@ class PReLU(nn.Module):
                 "PReLU.fused_norm is an s2d-space path"
             from ganslate_tpu.ops.s2d_space import group_instance_norm
             return group_instance_norm(x, self.features, self.s2d_rn,
-                                       activation="prelu", prelu_slope=slope)
+                                       activation="prelu", prelu_slope=slope,
+                                       residual=residual,
+                                       residual_tile=residual_tile)
+        assert residual is None, "residual requires fused_norm"
         if self.s2d_rn > 1 and self.features:
             slope = jnp.repeat(slope, self.s2d_rn)
         return jnp.where(x >= 0, x, x * slope.astype(x.dtype))

@@ -294,7 +294,9 @@ def broadcast_per_channel(vec: jax.Array, rn: int) -> jax.Array:
 def group_instance_norm(x: jax.Array, channels: int, rn: int,
                         epsilon: float = 1e-5, activation: str = "none",
                         negative_slope: float = 0.2,
-                        prelu_slope: Optional[jax.Array] = None) -> jax.Array:
+                        prelu_slope: Optional[jax.Array] = None,
+                        residual: Optional[jax.Array] = None,
+                        residual_tile: int = 1) -> jax.Array:
     """InstanceNorm over (spatial, phase) per (sample, true channel) for a
     c-major s2d tensor (N, *g, C*rn) — exactly the original-space instance
     norm. Stats grouping uses 0/1 matmuls over the lane dim (no relayout);
@@ -304,7 +306,15 @@ def group_instance_norm(x: jax.Array, channels: int, rn: int,
     (shape (C,) or scalar (1,)) INSIDE the f32 normalize expression — one
     elementwise pass instead of normalize -> cast -> standalone select
     (the sliding-window trace shows orphaned compare_select fusions when
-    the select sits outside, nn/generators/vnet/vnet.py)."""
+    the select sits outside, nn/generators/vnet/vnet.py).
+
+    ``residual`` (optionally channel-tiled ``residual_tile`` times on the
+    lane axis, c-major) is added after the normalize and before the
+    activation — the V-Net input block's ``norm(conv(x)) + tile(x, C)``
+    written as separate ops materializes the tiled tensor, a layout copy,
+    and an orphaned PReLU select (18.6 ms/call on the 28-window BRaTS
+    sliding-window trace); inside this pass the channel-repeat is a
+    broadcast read that fuses into the loop."""
     a, b = _group_mats_np(channels, rn)
     aj = jnp.asarray(a)
     bj = jnp.asarray(b)
@@ -322,6 +332,11 @@ def group_instance_norm(x: jax.Array, channels: int, rn: int,
     shift = (mean * jax.lax.rsqrt(jnp.maximum(var, 0.0) + epsilon)) @ bj
     shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
     y = x32 * scale.reshape(shape) - shift.reshape(shape)
+    if residual is not None:
+        r32 = residual.astype(jnp.float32)
+        if residual_tile > 1:
+            r32 = jnp.tile(r32, (1,) * (x.ndim - 1) + (residual_tile,))
+        y = y + r32
     if activation == "relu":
         y = jnp.maximum(y, 0.0)
     elif activation == "leaky_relu":
