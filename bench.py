@@ -174,10 +174,13 @@ def bench_cyclegan_train():
     from ganslate_tpu.utils.builders import build_gan
     from ganslate_tpu.utils.testing import make_cyclegan_conf
 
-    batch_size = 16  # best measured throughput on v5e (batch sweep 8/16/32)
+    batch_size = 16  # best measured throughput on v5e (batch sweep 8/16/24/32)
     image_size = 256
-    steps_per_dispatch = 8  # amortize the 2-10 ms relay dispatch tax
-    warmup, iters, segments = 2, 3, 5   # dispatches (x8 steps each)
+    # Amortize the 2-10 ms relay dispatch tax. Swept r5 (tools/ab.py train,
+    # interleaved): k=8 83.8, k=16 85.7 (+2.3%), k=32 77.5 (regresses —
+    # the 32-step batch stack pressures HBM). k=16 it is.
+    steps_per_dispatch = 16
+    warmup, iters, segments = 2, 2, 5   # dispatches (x16 steps each)
 
     conf = make_cyclegan_conf(batch_size=batch_size, image_size=image_size,
                               mixed_precision=True, n_iters=10_000)
