@@ -117,8 +117,15 @@ def _flops_with_timeout(build_lowered, timeout_s: float = 600.0):
     import hashlib
     import threading
 
-    lowered = build_lowered()
-    key = hashlib.sha256(lowered.as_text().encode()).hexdigest()
+    # Calibration must never endanger the headline capture: any failure in
+    # the lowering/serialization path (backend error, host OOM re-tracing
+    # the 21.9-TFLOP step) degrades to "no MFU line", not a dead process.
+    try:
+        lowered = build_lowered()
+        key = hashlib.sha256(lowered.as_text().encode()).hexdigest()
+    except Exception as e:
+        _TRIMMED.append(f"costing:lowering_failed:{type(e).__name__}")
+        return None
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".jax_cache", "flops_cache.json")
     try:

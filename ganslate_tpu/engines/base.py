@@ -48,6 +48,12 @@ class BaseEngineWithInference(BaseEngine):
         # serving path. Modes without the config field (val/test) keep fp32.
         self.wire_dtype = str(mode_conf.wire_dtype) \
             if "wire_dtype" in mode_conf else "float32"
+        if self.wire_dtype == "bfloat16":
+            self.logger.info(
+                "Serving wire format: bfloat16 (halved host<->device "
+                "transfer bytes; saved outputs keep the fp32 blend's value "
+                "to bf16 precision). Set wire_dtype=float32 in the mode "
+                "config for full-precision transfers.")
 
     def infer(self, data, *args, **kwargs):
         from ganslate_tpu.parallel import get_mesh, shard_batch
@@ -78,11 +84,19 @@ class BaseEngineWithInference(BaseEngine):
         return self._from_wire(out)
 
     def _to_wire(self, data):
-        """Host-side down-cast before the H2D transfer. fp32->bf16 here is
+        """Down-cast before the H2D transfer. fp32->bf16 here is
         bit-identical to the cast the network applies on device, so the
-        computation is unchanged — only the wire bytes halve."""
+        computation is unchanged — only the wire bytes halve. Inputs that
+        are ALREADY device-resident cast on device instead: pulling them to
+        the host for the cast would pay the very fp32 round-trip this
+        format exists to avoid."""
         if self.wire_dtype != "bfloat16":
             return data
+        import jax
+        import jax.numpy as jnp
+        if isinstance(data, jax.Array):
+            return data.astype(jnp.bfloat16) \
+                if data.dtype == jnp.float32 else data
         import ml_dtypes
         import numpy as np
         data = np.asarray(data)

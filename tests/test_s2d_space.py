@@ -152,6 +152,56 @@ def test_group_instance_norm(rng):
                                atol=2e-3, rtol=1e-3)
 
 
+def test_group_instance_norm_fused_residual(rng):
+    """The residual/residual_tile path == the unfused composition
+    norm -> + tile(x) -> prelu (in f32, exactly the V-Net input block)."""
+    c, rep = 4, 4
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, c * 8)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(2, 4, 4, 4, (c // rep) * 8))
+                      .astype(np.float32))
+    slope = jnp.asarray(np.full((c,), 0.25, np.float32))
+
+    @jax.jit
+    def run(x, res):
+        unfused = sp.group_instance_norm(x, c, 8, 1e-5, "none")
+        unfused = unfused + jnp.tile(res, (1, 1, 1, 1, rep))
+        unfused = jnp.where(unfused >= 0, unfused,
+                            unfused * jnp.repeat(slope, 8))
+        fused = sp.group_instance_norm(x, c, 8, 1e-5, "prelu",
+                                       prelu_slope=slope, residual=res,
+                                       residual_tile=rep)
+        return unfused, fused
+
+    unfused, fused = run(x, res)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_vnet_stem_fused_matches_plain(rng):
+    """Vnet3D(use_s2d_exec=True) under flags.vnet_stem_fused=True still
+    matches the plain execution with the same parameters — the default-off
+    fused input-block pass stays verifiable for re-measurement."""
+    from ganslate_tpu import flags
+    from ganslate_tpu.nn.generators import Vnet3D
+
+    kw = dict(in_channels=1, out_channels=1, first_layer_channels=4,
+              down_blocks=(1, 1), up_blocks=(1, 1),
+              use_memory_saving=False, use_inverse=False)
+    plain = Vnet3D(**kw)
+    s2d = Vnet3D(use_s2d_exec=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+
+    with flags.override(vnet_stem_fused=True):
+        @jax.jit
+        def run(x):
+            params = plain.init(jax.random.key(0), x)
+            return plain.apply(params, x), s2d.apply(params, x)
+
+        ref, got = run(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
 def test_broadcast_per_channel():
     v = jnp.asarray(np.arange(3, dtype=np.float32))
     out = sp.broadcast_per_channel(v, 4)

@@ -81,10 +81,16 @@ def main(n_vols=8, pipeline_depth=2):
         per_call = (time.perf_counter() - t0) / len(host_vols)
         return vols_per_call / per_call, results
 
-    # Compile + warm (bf16-input program — same one bench.py times).
+    # Compile + warm BOTH input-dtype programs (the inferer caches compiled
+    # programs keyed on input dtype; an unwarmed fp32 program would put its
+    # compile/cache-load inside the fp32 timed region and inflate the
+    # bf16-vs-fp32 comparison).
     dev0 = jax.device_put(host_bf16[0])
     out = inferer(dev0, network, pc)
     float(jax.device_get(out.ravel()[0]))
+    out_f32_warm = inferer(jax.device_put(host_f32[0]), network, pc)
+    float(jax.device_get(out_f32_warm.ravel()[0]))
+    del out_f32_warm
 
     # --- transfer rate probes (through whatever transport backs the chip),
     # at the bf16 wire sizes.
